@@ -1,0 +1,145 @@
+"""Render configuration.
+
+TPU-native equivalent of the reference ``Options`` class and CLI parser
+(reference source/utils.hpp:21-35, source/utils.cpp:36-89). Defaults are
+byte-for-byte the reference defaults; additional fields expose what the
+reference hardcodes (resolution main.cpp:41-42, max depth volpath:609,
+russian-roulette start volpath:787).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass
+class RenderOptions:
+    # --- fields mirroring reference Options (utils.hpp:24-34) ---
+    num_samples: int = 256
+    background: int = 1  # 0 none, 1 checkerboard, 2 cornell (utils.cpp:47-50)
+    obj_path: str = "scenes/showcase.obj"
+    out_name: str = "out"
+    camera_pos: Tuple[float, float, float] = (0.2, 4.2, 6.5)
+    camera_look_at: Tuple[float, float, float] = (0.0, 4.1, 0.2)
+    camera_fov: float = 36.0
+    light_pos: Tuple[float, float, float] = (-1.001, 5.0, 6.0)
+    light_color: Tuple[float, float, float] = (0.8, 0.8, 0.6)
+    light_intensity: float = 100.0
+    scale: float = 10.0
+
+    # --- hardcoded in the reference, configurable here ---
+    width: int = 1920  # main.cpp:41
+    height: int = 1080  # main.cpp:42
+    max_depth: int = 32  # volpath:609
+    rr_depth: int = 16  # volpath:787
+    nee_max_media: int = 4  # bound on media crossings along shadow rays (volpath:350 while-loop)
+
+    # --- TPU-rebuild extensions ---
+    aov: str = "beauty"  # beauty | depth | normal | topology
+    backend: str = "bvh"  # bvh | naive
+    rng: str = "parity"  # parity (sequential per pixel, ref volpath:575) | counter
+    sample_chunk: int = 0  # samples traced per device pass; 0 = auto
+    shard: str = "auto"  # auto | none — tile-shard over available devices
+    leaf_size: int = 4  # BVH max triangles per leaf
+
+    def clamp(self) -> "RenderOptions":
+        """Mirror reference clamping: background outside [0,2] -> 0 (utils.cpp:80-84)."""
+        if self.background > 2 or self.background < 0:
+            self.background = 0
+        return self
+
+
+HELP_TEXT = """Complex Materials Renderer (TPU) help:
+\t-o\t--out\tSets the name of the output file (default: 'out')
+\t-s\t--samples\tSets the sample count for the render (default: 256)
+\t-b\t--background\tSets the axis-aligned texture for diffuse background (default: 1)
+\t\t0\tNone
+\t\t1\tCheckerboard pattern
+\t\t2\tCornell box (paints vertical planes based on their normals)
+\t--width/--height\tRender resolution (default: 1920x1080)
+\t--aov\tOutput channel: beauty (default), depth, normal, topology
+\t--max-depth\tMaximum path depth (default: 32)
+\t--rng\tparity (reference-matching PCG stream) or counter (sample-parallel)
+\t--backend\tbvh (default) or naive (brute-force oracle)
+\t--shard\tauto (tile-shard across devices) or none
+Any bare argument is treated as the .obj scene path."""
+
+
+def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
+    """Parse CLI arguments in the reference's style (utils.cpp:36-89).
+
+    Reference semantics preserved: flags may appear anywhere, a bare
+    argument is the scene path, missing flag values are silently ignored,
+    background is clamped to 0 when out of range.
+    """
+    opt = options or RenderOptions()
+    it = iter(range(len(argv)))
+    i = 0
+    n = len(argv)
+
+    def take_value(i):
+        return (argv[i + 1], i + 1) if i + 1 < n else (None, i)
+
+    while i < n:
+        a = argv[i]
+        if a in ("-h", "--help"):
+            print(HELP_TEXT)
+            raise SystemExit(0)
+        elif a in ("-o", "--out"):
+            v, i = take_value(i)
+            if v is not None:
+                opt.out_name = v
+        elif a in ("-s", "--samples"):
+            v, i = take_value(i)
+            if v is not None:
+                opt.num_samples = int(v)
+        elif a in ("-b", "--background"):
+            v, i = take_value(i)
+            if v is not None:
+                opt.background = int(v)
+                opt.clamp()
+        elif a == "--width":
+            v, i = take_value(i)
+            if v is not None:
+                opt.width = int(v)
+        elif a == "--height":
+            v, i = take_value(i)
+            if v is not None:
+                opt.height = int(v)
+        elif a == "--aov":
+            v, i = take_value(i)
+            if v is not None:
+                opt.aov = v
+        elif a == "--max-depth":
+            v, i = take_value(i)
+            if v is not None:
+                opt.max_depth = int(v)
+        elif a == "--rr-depth":
+            v, i = take_value(i)
+            if v is not None:
+                opt.rr_depth = int(v)
+        elif a == "--nee-bound":
+            v, i = take_value(i)
+            if v is not None:
+                opt.nee_max_media = int(v)
+        elif a == "--rng":
+            v, i = take_value(i)
+            if v is not None:
+                opt.rng = v
+        elif a == "--backend":
+            v, i = take_value(i)
+            if v is not None:
+                opt.backend = v
+        elif a == "--sample-chunk":
+            v, i = take_value(i)
+            if v is not None:
+                opt.sample_chunk = int(v)
+        elif a == "--shard":
+            v, i = take_value(i)
+            if v is not None:
+                opt.shard = v
+        else:
+            opt.obj_path = a
+        i += 1
+    return opt

@@ -1,0 +1,98 @@
+"""Hit-information derivation: position, geometric normal, material id,
+medium lookup, and the procedural surface color.
+
+Re-derivation of reference getObjectHitInfo (volpath.comp.glsl:119-229):
+- barycentric world position (the reference's object-to-world transform is
+  the identity, model.cpp:136);
+- geometric normal from the un-normalized edge cross product, normalized
+  (volpath:184-196);
+- base color 0.8 grey (volpath:198), overridden by a checkerboard on the
+  floor-parity of x/y for background 1 (volpath:200-212) or Cornell paint
+  by the normal's +-x alignment for background 2 (volpath:213-226).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.medium import MediaTable, MediumLanes, lookup
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["v0", "v1", "v2", "mat_ids", "media", "scale"],
+    meta_fields=["background"],
+)
+@dataclasses.dataclass(frozen=True)
+class SceneArrays:
+    """Device-resident scene tables used by hit shading.
+
+    ``background`` is pytree metadata (static under jit) — it selects the
+    procedural shading branch at trace time like the reference's
+    pcBackgroundSelect push constant selects shader branches.
+    """
+
+    v0: jnp.ndarray  # (T, 3) triangle vertices in ORIGINAL order
+    v1: jnp.ndarray
+    v2: jnp.ndarray
+    mat_ids: jnp.ndarray  # (T,) int32
+    media: MediaTable
+    scale: jnp.ndarray  # scalar float32
+    background: int  # static: 0 none, 1 checkerboard, 2 cornell
+
+
+class HitInfo(NamedTuple):
+    position: jnp.ndarray  # (R, 3)
+    normal: jnp.ndarray  # (R, 3)
+    mat_id: jnp.ndarray  # (R,)
+    color: jnp.ndarray  # (R, 3)
+    medium: MediumLanes
+
+
+def shade_color(position, normal, background: int):
+    """Procedural base color (volpath:198-226). ``background`` is static."""
+    r = position.shape[0]
+    base = jnp.full((r, 3), 0.8, jnp.float32)
+    if background == 1:
+        fx = jnp.floor(position[:, 0])
+        fy = jnp.floor(position[:, 1])
+        even = (jnp.mod(fx, 2.0) == 0.0) == (jnp.mod(fy, 2.0) == 0.0)
+        color = jnp.where(even[:, None], 0.8, 0.3) * jnp.ones((r, 3), jnp.float32)
+        return color
+    if background == 2:
+        dot_x = normal[:, 0]
+        red = jnp.broadcast_to(jnp.array([0.8, 0.0, 0.0], jnp.float32), (r, 3))
+        green = jnp.broadcast_to(jnp.array([0.0, 0.8, 0.0], jnp.float32), (r, 3))
+        color = jnp.where(
+            (dot_x > 0.99)[:, None], red, jnp.where((dot_x < -0.99)[:, None], green, base)
+        )
+        return color
+    return base
+
+
+def get_hit_info(prim, u, v, scene: SceneArrays) -> HitInfo:
+    """Derive shading info for committed hits. ``prim`` may be -1 (miss);
+    those lanes return arbitrary-but-finite values and must be masked by
+    the caller."""
+    p = jnp.maximum(prim, 0)
+    a = scene.v0[p]
+    b = scene.v1[p]
+    c = scene.v2[p]
+    w = 1.0 - u - v
+    position = w[:, None] * a + u[:, None] * b + v[:, None] * c
+
+    raw_n = jnp.cross(b - a, c - a)
+    norm = jnp.linalg.norm(raw_n, axis=-1, keepdims=True)
+    normal = raw_n / jnp.maximum(norm, 1e-20)
+
+    mat_id = jnp.where(prim >= 0, scene.mat_ids[p], -1)
+    medium = lookup(mat_id, scene.media, scene.scale)
+    color = shade_color(position, normal, scene.background)
+    return HitInfo(
+        position=position, normal=normal, mat_id=mat_id, color=color, medium=medium
+    )
