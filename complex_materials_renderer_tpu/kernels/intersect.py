@@ -16,6 +16,12 @@ import jax.numpy as jnp
 
 T_MISS = jnp.float32(1e30)
 _DET_EPS = 1e-12
+# Barycentric tolerance: Vulkan's fixed-function traversal is watertight
+# along shared edges; a strict u,v >= 0 test drops rays that land exactly on
+# an edge (1-ulp negative barycentrics), punching pixel holes in quad
+# diagonals. The slack re-admits those; duplicate edge hits resolve by
+# closest-t like any other pair of hits.
+_BARY_EPS = 1e-6
 
 
 class Hit(NamedTuple):
@@ -70,9 +76,9 @@ def ray_triangle(o, d, v0, v1, v2, t_min, t_max):
     t = jnp.sum(e2 * q, axis=-1) * inv_det
     hit = (
         valid
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
+        & (u >= -_BARY_EPS)
+        & (v >= -_BARY_EPS)
+        & (u + v <= 1.0 + _BARY_EPS)
         & (t > t_min)
         & (t < t_max)
     )

@@ -70,7 +70,7 @@ def seed_counter(pixel_linear_index: jnp.ndarray, sample_index) -> jnp.ndarray:
     module self-contained.
     """
     s = pixel_linear_index.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-    s = s + jnp.uint32(sample_index) * jnp.uint32(0x85EBCA6B) + jnp.uint32(1)
+    s = s + jnp.asarray(sample_index, jnp.uint32) * jnp.uint32(0x85EBCA6B) + jnp.uint32(1)
     s = _output(step(s))
     s = _output(step(s))
     return s

@@ -1,0 +1,125 @@
+"""High-level renderer: scene -> device state -> image.
+
+The TPU-native equivalent of the reference's host runtime (main.cpp:61-411):
+where the reference builds Vulkan buffers, descriptor sets and one compute
+dispatch, this assembles device arrays, builds the BVH, and invokes the
+jitted AOV/beauty passes — optionally tile-sharded over a device mesh
+(parallel/sharding.py) and chunked over samples (which also removes the
+reference's watchdog-timeout failure mode, README.md:9-10, by bounding each
+device pass).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .accel import build_bvh
+from .config import RenderOptions
+from .kernels.traverse import DeviceBVH, device_bvh
+from .ops.camera import Camera, make_camera
+from .ops.medium import MediaTable
+from .render.aov import render_aov
+from .render.hitinfo import SceneArrays
+from .render.integrator import Lights, render_beauty
+from .scene import Scene
+from .utils.timing import PhaseTimer
+
+
+class Renderer:
+    def __init__(self, scene: Scene, options: Optional[RenderOptions] = None):
+        self.options = options or scene.options
+        self.timer = PhaseTimer()
+        with self.timer.phase("bvh_build"):
+            self.flat_bvh = build_bvh(scene.triangles, leaf_size=self.options.leaf_size)
+        with self.timer.phase("upload"):
+            self.bvh: DeviceBVH = device_bvh(
+                self.flat_bvh, scene.triangles, leaf_size=self.options.leaf_size
+            )
+            tris = jnp.asarray(scene.triangles, jnp.float32)
+            self.scene_arrays = SceneArrays(
+                v0=tris[:, 0],
+                v1=tris[:, 1],
+                v2=tris[:, 2],
+                mat_ids=jnp.asarray(scene.mat_ids),
+                media=MediaTable(*(jnp.asarray(a) for a in scene.media)),
+                scale=jnp.float32(self.options.scale),
+                background=int(self.options.background),
+            )
+        self.camera: Camera = make_camera(
+            self.options.camera_pos, self.options.camera_look_at, self.options.camera_fov
+        )
+        color = jnp.asarray(self.options.light_color, jnp.float32)
+        self.lights = Lights(
+            position=jnp.asarray(self.options.light_pos, jnp.float32),
+            intensity=color * jnp.float32(self.options.light_intensity),
+        )
+        self.triangles = scene.triangles
+
+    def render(self) -> np.ndarray:
+        opt = self.options
+        resolution = (opt.width, opt.height)
+        if opt.aov != "beauty":
+            with self.timer.phase("render"):
+                img = render_aov(
+                    self.triangles, self.camera, self.bvh, resolution, opt.aov
+                )
+                img = np.asarray(jax.block_until_ready(img))
+            return img
+
+        if opt.shard == "auto" and len(jax.devices()) > 1:
+            from .parallel.sharding import render_beauty_sharded
+
+            with self.timer.phase("render"):
+                img = render_beauty_sharded(
+                    self.camera,
+                    self.scene_arrays,
+                    self.bvh,
+                    self.lights,
+                    resolution,
+                    opt.num_samples,
+                    max_depth=opt.max_depth,
+                    rr_depth=opt.rr_depth,
+                    nee_max_media=opt.nee_max_media,
+                    rng_mode=opt.rng,
+                )
+                img = np.asarray(jax.block_until_ready(img))
+            return img
+
+        # Single device: chunk the sample loop so one device pass stays
+        # bounded (progress reporting + no watchdog-style stalls).
+        chunk = opt.sample_chunk or opt.num_samples
+        chunk = max(1, min(chunk, opt.num_samples))
+        acc = np.zeros((opt.height, opt.width, 3), np.float32)
+        done = 0
+        with self.timer.phase("render"):
+            while done < opt.num_samples:
+                # Parity RNG consumes one stream across samples; chunking it
+                # would need carried state, so parity renders in one pass.
+                n = opt.num_samples if opt.rng == "parity" else min(
+                    chunk, opt.num_samples - done
+                )
+                img = render_beauty(
+                    self.camera,
+                    self.scene_arrays,
+                    self.bvh,
+                    self.lights,
+                    resolution,
+                    n,
+                    max_depth=opt.max_depth,
+                    rr_depth=opt.rr_depth,
+                    nee_max_media=opt.nee_max_media,
+                    rng_mode=opt.rng,
+                )
+                acc += np.asarray(jax.block_until_ready(img)) * (
+                    n / opt.num_samples
+                )
+                done += n
+        return acc
+
+    def stats(self) -> dict:
+        return dict(self.timer.items())

@@ -51,7 +51,9 @@ def test_masked_draw_preserves_state():
     np.testing.assert_array_equal(
         np.asarray(new_state)[1::2], np.arange(8, dtype=np.uint32)[1::2]
     )
-    assert not np.any(np.asarray(new_state)[::2] == np.arange(8, np.uint32)[::2])
+    assert not np.any(
+        np.asarray(new_state)[::2] == np.arange(8, dtype=np.uint32)[::2]
+    )
 
 
 def test_counter_seeds_decorrelated():

@@ -108,21 +108,24 @@ def test_packed_buffer_contract_gem_corner():
 def test_load_reference_scene_gem_corner():
     path = reference_scene("gem_corner.obj")
     scene = load_scene(path)
-    # SURVEY C10: 1,587 faces.
-    assert scene.triangles.shape[0] == 1587
-    assert scene.mat_ids.shape[0] == 1587
+    # gem_corner.obj has 694 tris + 893 quads; fan triangulation (the
+    # tinyobjloader default the reference relies on) yields 694 + 2*893.
+    assert scene.triangles.shape[0] == 694 + 2 * 893
+    assert scene.mat_ids.shape[0] == scene.triangles.shape[0]
     # Scene block applied (gem_corner.json).
     assert scene.options.camera_pos == (0.2, 4.2, 6.5)
     assert scene.options.scale == 10.0
-    assert set(np.unique(scene.mat_ids)).issubset({-1, 0, 1, 2, 3})
+    # gem_corner.mtl defines 6 materials; the scene uses 5 of them and the
+    # JSON media cover ids 0-3 (gem_corner.json).
+    assert set(np.unique(scene.mat_ids)).issubset({-1, 0, 1, 2, 3, 4, 5})
     np.testing.assert_array_equal(np.sort(scene.media.mat_id), [0, 1, 2, 3])
 
 
 def test_load_reference_scene_cup():
     path = reference_scene("cup.obj")
     scene = load_scene(path)
-    # SURVEY C10: 20,624 faces.
-    assert scene.triangles.shape[0] == 20624
+    # cup.obj is 20,624 quads -> 41,248 triangles after fan triangulation.
+    assert scene.triangles.shape[0] == 41248
     np.testing.assert_array_equal(np.sort(scene.media.mat_id), [0, 2, 3])
     assert scene.options.scale == 10.0
 

@@ -1,0 +1,83 @@
+"""Sharding equivalence on the 8-virtual-device CPU mesh (SURVEY §4:
+sharded-vs-single-chip bit-equivalence)."""
+
+import jax
+import numpy as np
+import pytest
+
+from complex_materials_renderer_tpu.parallel.sharding import (
+    make_render_mesh,
+    render_beauty_sharded,
+)
+from complex_materials_renderer_tpu.render.integrator import render_beauty
+from helpers import assemble, make_test_scene, test_camera, test_lights
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tris, mats, media = make_test_scene()
+    scene, bvh = assemble(tris, mats, media)
+    return scene, bvh, test_camera(), test_lights()
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_tile_sharded_bit_identical_parity(setup):
+    scene, bvh, cam, lights = setup
+    ref = np.asarray(render_beauty(cam, scene, bvh, lights, (32, 32), 4))
+    img = np.asarray(
+        render_beauty_sharded(
+            cam, scene, bvh, lights, (32, 32), 4, mesh=make_render_mesh()
+        )
+    )
+    np.testing.assert_array_equal(ref, img)
+
+
+def test_sample_and_tile_sharded_counter(setup):
+    scene, bvh, cam, lights = setup
+    ref = np.asarray(
+        render_beauty(cam, scene, bvh, lights, (32, 32), 8, rng_mode="counter")
+    )
+    img = np.asarray(
+        render_beauty_sharded(
+            cam,
+            scene,
+            bvh,
+            lights,
+            (32, 32),
+            8,
+            rng_mode="counter",
+            mesh=make_render_mesh(sample_parallel=4),
+        )
+    )
+    # Identical samples; only the psum summation order differs.
+    np.testing.assert_allclose(ref, img, atol=1e-6)
+
+
+def test_non_divisible_height_pads(setup):
+    scene, bvh, cam, lights = setup
+    ref = np.asarray(render_beauty(cam, scene, bvh, lights, (16, 30), 2))
+    img = np.asarray(
+        render_beauty_sharded(
+            cam, scene, bvh, lights, (16, 30), 2, mesh=make_render_mesh()
+        )
+    )
+    assert img.shape == (30, 16, 3)
+    np.testing.assert_array_equal(ref, img)
+
+
+def test_sample_parallel_requires_counter(setup):
+    scene, bvh, cam, lights = setup
+    with pytest.raises(ValueError):
+        render_beauty_sharded(
+            cam,
+            scene,
+            bvh,
+            lights,
+            (16, 16),
+            8,
+            rng_mode="parity",
+            mesh=make_render_mesh(sample_parallel=2),
+        )
