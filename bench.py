@@ -1,0 +1,81 @@
+"""Benchmark: Mpaths/sec/chip on the showcase scene.
+
+Renders the showcase scene and reports millions of camera paths (pixel
+samples) traced per second on one chip, against the BASELINE.json
+north-star target of 50 Mpaths/s/chip. Prints ONE JSON line.
+
+A "path" is one camera sample: jittered primary ray plus its full bounce
+history (up to max_depth segments, each with closest-hit + distance +
+NEE traversals), matching the reference's per-thread workload
+(volpath.comp.glsl:580-798).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_MPATHS = 50.0  # BASELINE.json north-star, v5e
+
+
+def main() -> None:
+    import jax
+
+    from complex_materials_renderer_tpu.config import RenderOptions
+    from complex_materials_renderer_tpu.renderer import Renderer
+    from complex_materials_renderer_tpu.scene import load_scene
+
+    opt = RenderOptions()
+    opt.obj_path = "scenes/showcase.obj"
+    opt.width, opt.height = 512, 512
+    opt.num_samples = 16
+    opt.rng = "counter"  # sample-parallel-safe mode is the perf path
+    opt.shard = "none"  # single-chip number
+
+    scene = load_scene(opt.obj_path, opt)
+    renderer = Renderer(scene, scene.options)
+
+    from complex_materials_renderer_tpu.render.integrator import render_beauty
+
+    def run(samples):
+        img = render_beauty(
+            renderer.camera,
+            renderer.scene_arrays,
+            renderer.bvh,
+            renderer.lights,
+            (opt.width, opt.height),
+            samples,
+            max_depth=opt.max_depth,
+            rr_depth=opt.rr_depth,
+            nee_max_media=opt.nee_max_media,
+            rng_mode=opt.rng,
+        )
+        return jax.block_until_ready(img)
+
+    # Warmup/compile.
+    run(1)
+
+    t0 = time.perf_counter()
+    img = run(opt.num_samples)
+    elapsed = time.perf_counter() - t0
+
+    paths = opt.width * opt.height * opt.num_samples
+    mpaths = paths / elapsed / 1e6
+    assert np.all(np.isfinite(np.asarray(img)))
+
+    print(
+        json.dumps(
+            {
+                "metric": "Mpaths/sec/chip (showcase 512x512)",
+                "value": round(mpaths, 3),
+                "unit": "Mpaths/s",
+                "vs_baseline": round(mpaths / TARGET_MPATHS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

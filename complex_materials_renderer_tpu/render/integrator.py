@@ -283,6 +283,7 @@ def _bounce(
         "nee_max_media",
         "rng_mode",
         "full_resolution",
+        "return_rng",
     ),
 )
 def render_beauty(
@@ -300,8 +301,16 @@ def render_beauty(
     row_offset=0,
     full_resolution=None,
     sample_offset=0,
+    rng_state=None,
+    return_rng=False,
 ):
     """Render an (H, W, 3) tile of the beauty pass.
+
+    ``rng_state``/``return_rng``: for chunked parity rendering — the
+    per-pixel PCG stream continues across sample chunks (the reference
+    consumes one stream per pixel across all samples, volpath:575-580), so
+    callers carry the state between passes. The returned image is the
+    *mean over this pass's samples* (combine chunks by weighted average).
 
     For sharded tiles, ``pixel_offset``/``row_offset`` place this tile in
     the full framebuffer and ``full_resolution`` is the full image size:
@@ -355,11 +364,13 @@ def render_beauty(
         )
         return (state.rng, acc + state.rad), None
 
-    seed0 = rng_ops.seed_from_pixel(linear)
+    seed0 = rng_state if rng_state is not None else rng_ops.seed_from_pixel(linear)
     (final_rng, acc), _ = jax.lax.scan(
         one_sample,
         (seed0, jnp.zeros((r, 3), jnp.float32)),
         jnp.arange(num_samples, dtype=jnp.uint32),
     )
-    img = acc / jnp.float32(num_samples)
-    return img.reshape(height, width, 3)
+    img = (acc / jnp.float32(num_samples)).reshape(height, width, 3)
+    if return_rng:
+        return img, final_rng
+    return img

@@ -11,6 +11,7 @@ device pass).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -28,6 +29,20 @@ from .render.hitinfo import SceneArrays
 from .render.integrator import Lights, render_beauty
 from .scene import Scene
 from .utils.timing import PhaseTimer
+
+
+# Paths traced per device pass. Bounds single-dispatch runtime (the TPU
+# runtime, like the Windows GPU watchdog the reference warns about, kills
+# very long dispatches) while keeping lanes wide enough to fill the VPU.
+PATHS_PER_PASS = int(os.environ.get("CMR_PATHS_PER_PASS", 1 << 21))
+
+
+def _auto_sample_chunk(width: int, height: int) -> int:
+    return max(1, PATHS_PER_PASS // (width * height))
+
+
+def _auto_row_chunk(width: int, sample_chunk: int) -> int:
+    return max(1, PATHS_PER_PASS // (width * sample_chunk))
 
 
 class Renderer:
@@ -90,35 +105,44 @@ class Renderer:
                 img = np.asarray(jax.block_until_ready(img))
             return img
 
-        # Single device: chunk the sample loop so one device pass stays
-        # bounded (progress reporting + no watchdog-style stalls).
-        chunk = opt.sample_chunk or opt.num_samples
+        # Single device: chunk the work into bounded device passes. The
+        # reference's single giant dispatch is exactly what trips GPU
+        # watchdogs (README.md:9-10); chunking rows x samples removes that
+        # failure mode and enables progress reporting. Parity RNG chunks
+        # carry the per-pixel PCG stream across sample chunks so the
+        # result is identical to one monolithic pass.
+        chunk = opt.sample_chunk or _auto_sample_chunk(opt.width, opt.height)
         chunk = max(1, min(chunk, opt.num_samples))
+        rows = _auto_row_chunk(opt.width, chunk)
         acc = np.zeros((opt.height, opt.width, 3), np.float32)
-        done = 0
         with self.timer.phase("render"):
-            while done < opt.num_samples:
-                # Parity RNG consumes one stream across samples; chunking it
-                # would need carried state, so parity renders in one pass.
-                n = opt.num_samples if opt.rng == "parity" else min(
-                    chunk, opt.num_samples - done
-                )
-                img = render_beauty(
-                    self.camera,
-                    self.scene_arrays,
-                    self.bvh,
-                    self.lights,
-                    resolution,
-                    n,
-                    max_depth=opt.max_depth,
-                    rr_depth=opt.rr_depth,
-                    nee_max_media=opt.nee_max_media,
-                    rng_mode=opt.rng,
-                )
-                acc += np.asarray(jax.block_until_ready(img)) * (
-                    n / opt.num_samples
-                )
-                done += n
+            for row0 in range(0, opt.height, rows):
+                tile_h = min(rows, opt.height - row0)
+                rng_state = None
+                done = 0
+                while done < opt.num_samples:
+                    n = min(chunk, opt.num_samples - done)
+                    img, rng_state = render_beauty(
+                        self.camera,
+                        self.scene_arrays,
+                        self.bvh,
+                        self.lights,
+                        (opt.width, tile_h),
+                        n,
+                        max_depth=opt.max_depth,
+                        rr_depth=opt.rr_depth,
+                        nee_max_media=opt.nee_max_media,
+                        rng_mode=opt.rng,
+                        row_offset=row0,
+                        full_resolution=resolution,
+                        sample_offset=done,
+                        rng_state=rng_state,
+                        return_rng=True,
+                    )
+                    acc[row0 : row0 + tile_h] += np.asarray(
+                        jax.block_until_ready(img)
+                    ) * (n / opt.num_samples)
+                    done += n
         return acc
 
     def stats(self) -> dict:

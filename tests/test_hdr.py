@@ -32,7 +32,8 @@ def test_write_read_rle(tmp_path):
     write_hdr(path, img)
     back = read_hdr(path)
     assert back.shape == img.shape
-    np.testing.assert_allclose(back, img, rtol=0.01, atol=1e-4)
+    step = img.max(axis=-1, keepdims=True) / 128.0
+    assert np.all(np.abs(back - img) <= 0.5 * step + 1e-6)
 
 
 def test_write_read_flat_narrow(tmp_path):
