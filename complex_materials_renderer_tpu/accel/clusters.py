@@ -1,0 +1,107 @@
+"""Morton-ordered triangle clusters — the acceleration structure for the
+Pallas tracer.
+
+Rationale (why not the BVH on TPU): XLA per-lane gathers execute at about
+one element per cycle on TPU, so a pointer-chasing BVH walk — even a
+threaded, stack-free one — is catastrophically memory-serial (measured
+~0.002 Mpaths/s). The VPU wants dense vector work and the Mosaic compiler
+wants dynamic indexing only on non-lane dimensions. This structure is
+shaped for exactly that:
+
+- triangles are sorted by the Morton code of their centroid and packed
+  into clusters of 128 (one full lane vector each);
+- each cluster carries an AABB; traversal is: cull cluster (scalar test,
+  real branch via pl.when), then test the cluster's 128 triangles against
+  8 rays at a time as dense (8, 128) VPU ops.
+
+Worst case equals brute force at full VPU rate; coherent rays skip most
+clusters. This replaces the same driver BVH the threaded-BVH backend
+replaces (reference main.cpp:176-203) — two backends, one contract.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+CLUSTER_SIZE = 128  # one lane vector of triangles
+
+
+class ClusterGrid(NamedTuple):
+    # (C, 128) per-component triangle vertices, cluster-major, zero-padded
+    # (degenerate zero triangles never intersect: det == 0).
+    v0x: np.ndarray
+    v0y: np.ndarray
+    v0z: np.ndarray
+    v1x: np.ndarray
+    v1y: np.ndarray
+    v1z: np.ndarray
+    v2x: np.ndarray
+    v2y: np.ndarray
+    v2z: np.ndarray
+    bounds: np.ndarray  # (C, 8): min xyz, max xyz, pad, pad
+    tri_index: np.ndarray  # (C*128,) original triangle id per slot; -1 = pad
+
+    @property
+    def num_clusters(self) -> int:
+        return self.bounds.shape[0]
+
+
+def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit quantized coordinates into 30-bit Morton codes."""
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) | spread(z)
+
+
+def build_clusters(triangles: np.ndarray) -> ClusterGrid:
+    """Build a ClusterGrid over ``triangles`` of shape (T, 3, 3)."""
+    tris = np.asarray(triangles, np.float32)
+    num_tris = tris.shape[0]
+    if num_tris == 0:
+        raise ValueError("cannot build clusters over zero triangles")
+
+    centroids = tris.mean(axis=1)
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((centroids - lo) / extent) * 1023.0, 0, 1023).astype(np.uint32)
+    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    num_clusters = -(-num_tris // CLUSTER_SIZE)
+    slots = num_clusters * CLUSTER_SIZE
+
+    tri_index = np.full(slots, -1, np.int32)
+    tri_index[:num_tris] = order
+
+    packed = np.zeros((slots, 3, 3), np.float32)
+    packed[:num_tris] = tris[order]
+
+    comp = packed.reshape(num_clusters, CLUSTER_SIZE, 3, 3)
+
+    bounds = np.zeros((num_clusters, 8), np.float32)
+    for c in range(num_clusters):
+        real = tri_index[c * CLUSTER_SIZE : (c + 1) * CLUSTER_SIZE] >= 0
+        member = comp[c][real]  # (n, 3, 3)
+        bounds[c, 0:3] = member.min(axis=(0, 1))
+        bounds[c, 3:6] = member.max(axis=(0, 1))
+
+    def field(vi, ci):
+        return np.ascontiguousarray(comp[:, :, vi, ci])
+
+    return ClusterGrid(
+        v0x=field(0, 0), v0y=field(0, 1), v0z=field(0, 2),
+        v1x=field(1, 0), v1y=field(1, 1), v1z=field(1, 2),
+        v2x=field(2, 0), v2y=field(2, 1), v2z=field(2, 2),
+        bounds=bounds,
+        tri_index=tri_index,
+    )

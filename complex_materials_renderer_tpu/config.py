@@ -37,7 +37,7 @@ class RenderOptions:
 
     # --- TPU-rebuild extensions ---
     aov: str = "beauty"  # beauty | depth | normal | topology
-    backend: str = "bvh"  # bvh | naive
+    backend: str = "auto"  # auto | cluster (pallas) | bvh (threaded, XLA)
     rng: str = "parity"  # parity (sequential per pixel, ref volpath:575) | counter
     sample_chunk: int = 0  # samples traced per device pass; 0 = auto
     shard: str = "auto"  # auto | none — tile-shard over available devices

@@ -76,7 +76,17 @@ def device_bvh(flat, triangles, leaf_size: int) -> DeviceBVH:
     )
 
 
-def trace_closest(o, d, bvh: DeviceBVH, t_min, t_max, active=None) -> Hit:
+def trace_closest(o, d, accel, t_min, t_max, active=None) -> Hit:
+    """Closest-hit trace dispatch: threaded-BVH wavefront walk for a
+    DeviceBVH, the Pallas cluster kernel for a DeviceClusterGrid."""
+    if not isinstance(accel, DeviceBVH):
+        from .pallas_trace import trace_closest_clusters
+
+        return trace_closest_clusters(o, d, accel, t_min, t_max, active=active)
+    return _trace_closest_bvh(o, d, accel, t_min, t_max, active=active)
+
+
+def _trace_closest_bvh(o, d, bvh: DeviceBVH, t_min, t_max, active=None) -> Hit:
     """Closest-hit traversal for a batch of rays.
 
     ``active``: optional (R,) bool — inactive lanes are parked (cursor -1)

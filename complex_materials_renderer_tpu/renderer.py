@@ -49,12 +49,27 @@ class Renderer:
     def __init__(self, scene: Scene, options: Optional[RenderOptions] = None):
         self.options = options or scene.options
         self.timer = PhaseTimer()
-        with self.timer.phase("bvh_build"):
-            self.flat_bvh = build_bvh(scene.triangles, leaf_size=self.options.leaf_size)
+        backend = self.options.backend
+        if backend == "auto":
+            # The Pallas cluster kernel is the TPU hot path; the threaded
+            # BVH is the portable/XLA path (CPU tests, odd platforms).
+            backend = "cluster" if jax.default_backend() == "tpu" else "bvh"
+        with self.timer.phase("accel_build"):
+            if backend == "cluster":
+                from .accel.clusters import build_clusters
+                from .kernels.pallas_trace import device_cluster_grid
+
+                self._host_accel = build_clusters(scene.triangles)
+                build_fn = lambda: device_cluster_grid(self._host_accel)
+            else:
+                self._host_accel = build_bvh(
+                    scene.triangles, leaf_size=self.options.leaf_size
+                )
+                build_fn = lambda: device_bvh(
+                    self._host_accel, scene.triangles, leaf_size=self.options.leaf_size
+                )
         with self.timer.phase("upload"):
-            self.bvh: DeviceBVH = device_bvh(
-                self.flat_bvh, scene.triangles, leaf_size=self.options.leaf_size
-            )
+            self.bvh = build_fn()
             tris = jnp.asarray(scene.triangles, jnp.float32)
             self.scene_arrays = SceneArrays(
                 v0=tris[:, 0],
