@@ -42,6 +42,7 @@ class ClusterGrid(NamedTuple):
     v2z: np.ndarray
     bounds: np.ndarray  # (C, 8): min xyz, max xyz, pad, pad
     tri_index: np.ndarray  # (C*128,) original triangle id per slot; -1 = pad
+    mat_id: np.ndarray  # (C, 128) per-slot material id; -1 on pad slots
 
     @property
     def num_clusters(self) -> int:
@@ -62,8 +63,12 @@ def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) | spread(z)
 
 
-def build_clusters(triangles: np.ndarray) -> ClusterGrid:
-    """Build a ClusterGrid over ``triangles`` of shape (T, 3, 3)."""
+def build_clusters(triangles: np.ndarray, mat_ids: np.ndarray | None = None) -> ClusterGrid:
+    """Build a ClusterGrid over ``triangles`` of shape (T, 3, 3).
+
+    ``mat_ids`` (T,) lets the tracer return the hit material directly
+    (saving the integrator a per-lane gather); defaults to zeros.
+    """
     tris = np.asarray(triangles, np.float32)
     num_tris = tris.shape[0]
     if num_tris == 0:
@@ -82,6 +87,12 @@ def build_clusters(triangles: np.ndarray) -> ClusterGrid:
 
     tri_index = np.full(slots, -1, np.int32)
     tri_index[:num_tris] = order
+
+    mats = np.full(slots, -1, np.int32)
+    if mat_ids is not None:
+        mats[:num_tris] = np.asarray(mat_ids, np.int32)[order]
+    else:
+        mats[:num_tris] = 0
 
     packed = np.zeros((slots, 3, 3), np.float32)
     packed[:num_tris] = tris[order]
@@ -104,4 +115,5 @@ def build_clusters(triangles: np.ndarray) -> ClusterGrid:
         v2x=field(2, 0), v2y=field(2, 1), v2z=field(2, 2),
         bounds=bounds,
         tri_index=tri_index,
+        mat_id=mats.reshape(num_clusters, CLUSTER_SIZE),
     )

@@ -86,6 +86,36 @@ def trace_closest(o, d, accel, t_min, t_max, active=None) -> Hit:
     return _trace_closest_bvh(o, d, accel, t_min, t_max, active=active)
 
 
+def trace_shaded(o, d, accel, scene_v0, scene_v1, scene_v2, scene_mat_ids,
+                 t_min, t_max, active=None):
+    """Closest-hit trace returning the shading payload (hit mask, normal,
+    material id) — the integrator's primitive. On the Pallas backend the
+    payload comes straight out of the kernel (zero per-lane gathers); on
+    the XLA BVH backend it is derived from the hit triangle's vertices
+    (reference getObjectHitInfo semantics, volpath:184-196)."""
+    from .pallas_trace import DeviceClusterGrid, ShadedHit, trace_shaded_clusters
+
+    if isinstance(accel, DeviceClusterGrid):
+        return trace_shaded_clusters(o, d, accel, t_min, t_max, active=active)
+
+    hit = _trace_closest_bvh(o, d, accel, t_min, t_max, active=active)
+    p = jnp.maximum(hit.prim, 0)
+    a = scene_v0[p]
+    b = scene_v1[p]
+    c = scene_v2[p]
+    raw_n = jnp.cross(b - a, c - a)
+    n = raw_n / jnp.maximum(jnp.linalg.norm(raw_n, axis=-1, keepdims=True), 1e-20)
+    got = hit.prim >= 0
+    mat = jnp.where(got, scene_mat_ids[p], -1)
+    # Barycentric position, like the reference (volpath:158-181).
+    u = hit.u[:, None]
+    v = hit.v[:, None]
+    position = a + u * (b - a) + v * (c - a)
+    return ShadedHit(
+        t=hit.t, hit=got, u=hit.u, v=hit.v, normal=n, mat_id=mat, position=position
+    )
+
+
 def _trace_closest_bvh(o, d, bvh: DeviceBVH, t_min, t_max, active=None) -> Hit:
     """Closest-hit traversal for a batch of rays.
 

@@ -35,14 +35,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..kernels.traverse import DeviceBVH, trace_closest
+from ..kernels.traverse import DeviceBVH, trace_closest, trace_shaded
 from ..ops import rng as rng_ops
 from ..ops.camera import Camera, generate_rays
 from ..ops.diffuse import REFLECTANCE, diffuse_eval, diffuse_sample
 from ..ops.fresnel import fresnel_r, reflect, refract
-from ..ops.medium import eval_transmittance, sample_distance
+from ..ops.medium import eval_transmittance, lookup, sample_distance
 from ..ops.phase import g_mean, hg_eval_zero, hg_sample
-from .hitinfo import SceneArrays, get_hit_info
+from .hitinfo import SceneArrays, shade_color
 
 T_MIN = 1e-4  # volpath:617
 T_MAX = 1e4  # volpath:619
@@ -102,34 +102,36 @@ def sample_direct_light(
     remaining = jnp.where(active, light_dist, 0.0)
     origin = position
 
+    def shaded(o, t_max, act):
+        return trace_shaded(
+            o, ldir, bvh, scene.v0, scene.v1, scene.v2, scene.mat_ids,
+            T_MIN, t_max, active=act,
+        )
+
     for _ in range(max_media):
         run = active & (remaining > 0.0)
-        h1 = trace_closest(origin, ldir, bvh, T_MIN, remaining * 0.999, active=run)
-        hit1 = h1.prim >= 0
-        info1 = get_hit_info(h1.prim, h1.u, h1.v, scene)
+        h1 = shaded(origin, remaining * 0.999, run)
+        med1 = lookup(h1.mat_id, scene.media, scene.scale)
 
-        occluded = run & hit1 & ~info1.medium.has_medium
+        occluded = run & h1.hit & ~med1.has_medium
         trans = jnp.where(occluded[:, None], 0.0, trans)
 
-        enter = run & hit1 & info1.medium.has_medium
+        enter = run & h1.hit & med1.has_medium
+        pos1 = h1.position
         rem_after_enter = remaining - h1.t
 
-        h2 = trace_closest(
-            info1.position, ldir, bvh, T_MIN, jnp.maximum(rem_after_enter, T_MIN),
-            active=enter,
-        )
-        hit2 = h2.prim >= 0
-        info2 = get_hit_info(h2.prim, h2.u, h2.v, scene)
+        h2 = shaded(pos1, jnp.maximum(rem_after_enter, T_MIN), enter)
+        med2 = lookup(h2.mat_id, scene.media, scene.scale)
 
-        occluded2 = enter & hit2 & ~info2.medium.has_medium
+        occluded2 = enter & h2.hit & ~med2.has_medium
         trans = jnp.where(occluded2[:, None], 0.0, trans)
 
-        pair = enter & hit2 & info2.medium.has_medium
+        pair = enter & h2.hit & med2.has_medium
         seg = jnp.minimum(h2.t, rem_after_enter)
-        seg_tr = eval_transmittance(seg, info1.medium.sigma_s, info1.medium.sigma_a)
+        seg_tr = eval_transmittance(seg, med1.sigma_s, med1.sigma_a)
         trans = jnp.where(pair[:, None], trans * 0.9 * seg_tr, trans)
 
-        origin = jnp.where(pair[:, None], info2.position, origin)
+        origin = jnp.where(pair[:, None], h2.position, origin)
         # Loop bookkeeping: miss or exhausted path ends the march; an
         # enter-without-exit also ends it with transmittance kept
         # (volpath:414-421).
@@ -146,6 +148,21 @@ class _State(NamedTuple):
     rng: jnp.ndarray  # (R,) uint32
     depth: jnp.ndarray  # (R,) int32
     alive: jnp.ndarray  # (R,) bool
+    lane: jnp.ndarray  # (R,) int32 original lane id (compaction permutes)
+
+
+def _compact(state: _State) -> _State:
+    """Stable-partition lanes so live ones come first.
+
+    The GLSL megakernel leaves dead threads idling in their warps; here
+    dead lanes would still occupy kernel blocks, so each bounce re-packs
+    the wavefront. Blocks (and 8-ray octets) that end up all-dead are
+    skipped by the tracer's scalar predicates at near-zero cost. Stable
+    order preserves ray coherence within the survivors; radiance/RNG are
+    scattered back through ``lane`` at the end of the sample.
+    """
+    order = jnp.argsort(jnp.logical_not(state.alive), stable=True)
+    return _State(*(jnp.take(x, order, axis=0) for x in state))
 
 
 def _bounce(
@@ -157,17 +174,22 @@ def _bounce(
     rr_depth: int,
     nee_max_media: int,
 ) -> _State:
-    org, direction, thr, rad, rngs, depth, alive = state
+    org, direction, thr, rad, rngs, depth, alive, lane_id = state
 
-    hit = trace_closest(org, direction, bvh, T_MIN, T_MAX, active=alive)
-    got_hit = alive & (hit.prim >= 0)
-    info = get_hit_info(hit.prim, hit.u, hit.v, scene)
-    med = info.medium
+    sh = trace_shaded(
+        org, direction, bvh, scene.v0, scene.v1, scene.v2, scene.mat_ids,
+        T_MIN, T_MAX, active=alive,
+    )
+    got_hit = alive & sh.hit
+    position = sh.position  # barycentric reconstruction (volpath:158-181)
+    normal = sh.normal
+    med = lookup(sh.mat_id, scene.media, scene.scale)
+    color = shade_color(position, normal, scene.background)
 
     has_med = got_hit & med.has_medium
 
     # --- boundary event #1 (volpath:633-670) ---
-    refl1, trans_dir1, r1 = _boundary_event(direction, info.normal, med.ior)
+    refl1, trans_dir1, r1 = _boundary_event(direction, normal, med.ior)
     rngs, rand_fresnel = rng_ops.next_float_masked(rngs, has_med)
     do_reflect = has_med & (rand_fresnel < r1)
     transmitted = has_med & ~do_reflect
@@ -176,14 +198,15 @@ def _bounce(
         do_reflect[:, None], refl1, jnp.where(transmitted[:, None], trans_dir1, direction)
     )
     # Reflect lanes: origin to hit point, depth+1, continue (volpath:651-654).
-    org = jnp.where(do_reflect[:, None], info.position, org)
+    org = jnp.where(do_reflect[:, None], position, org)
     depth = depth + jnp.where(has_med, 1, 0)  # volpath:669 (also hit by :653)
 
     # --- distance-to-boundary trace (volpath:675-688) ---
-    dist_hit = trace_closest(
-        info.position, dir_after, bvh, T_MIN, T_MAX, active=transmitted
+    dist_hit = trace_shaded(
+        position, dir_after, bvh, scene.v0, scene.v1, scene.v2, scene.mat_ids,
+        T_MIN, T_MAX, active=transmitted,
     )
-    seg_len = jnp.where(dist_hit.prim >= 0, dist_hit.t, T_MAX)
+    seg_len = jnp.where(dist_hit.hit, dist_hit.t, T_MAX)
 
     # --- free-flight sampling (volpath:691) ---
     rngs, rand_dist = rng_ops.next_float_masked(rngs, transmitted)
@@ -193,13 +216,13 @@ def _bounce(
 
     # --- diffuse gate (volpath:758-764) ---
     diffuse = got_hit & ~has_med
-    backface = diffuse & (jnp.sum(direction * info.normal, axis=-1) > 0.0)
+    backface = diffuse & (jnp.sum(direction * normal, axis=-1) > 0.0)
     shade = diffuse & ~backface
 
     # --- shared NEE (volpath:697 for scatter, :773 for diffuse; draws no
     # randoms; the medium argument is dead in the reference) ---
     light = sample_direct_light(
-        info.position, scene, bvh, lights, scatter | shade, nee_max_media
+        position, scene, bvh, lights, scatter | shade, nee_max_media
     )
 
     # --- scatter branch (volpath:693-710) ---
@@ -218,7 +241,7 @@ def _bounce(
     rngs, r_ph2 = rng_ops.next_float_masked(rngs, scatter)
     hg_dir, _ = hg_sample(-dir_after, g, r_ph1, r_ph2)
     # New origin advanced along the *scattered* direction (volpath:708-709).
-    org = jnp.where(scatter[:, None], info.position + hg_dir * ms.t[:, None], org)
+    org = jnp.where(scatter[:, None], position + hg_dir * ms.t[:, None], org)
     new_dir = jnp.where(scatter[:, None], hg_dir, dir_after)
 
     # --- pass-through branch (volpath:713-756) ---
@@ -227,9 +250,9 @@ def _bounce(
     pass_scale = jnp.where((ms.prob_fail > 0.0)[:, None], pass_scale, 0.0)
     thr = jnp.where(pass_med[:, None], thr * pass_scale, thr)
 
-    pass_org = info.position + dir_after * ms.t[:, None]
+    pass_org = position + dir_after * ms.t[:, None]
     # Boundary event #2 with the stale entry normal (volpath:723-753).
-    refl2, trans_dir2, r2 = _boundary_event(dir_after, info.normal, med.ior)
+    refl2, trans_dir2, r2 = _boundary_event(dir_after, normal, med.ior)
     rngs, rand_fresnel2 = rng_ops.next_float_masked(rngs, pass_med)
     pass_dir = jnp.where((rand_fresnel2 < r2)[:, None], refl2, trans_dir2)
     org = jnp.where(pass_med[:, None], pass_org, org)
@@ -238,13 +261,13 @@ def _bounce(
     # --- diffuse branch (volpath:758-779) ---
     rngs, r_d1 = rng_ops.next_float_masked(rngs, shade)
     rngs, r_d2 = rng_ops.next_float_masked(rngs, shade)
-    wo_local, _bsdf = diffuse_sample(-direction, info.normal, r_d1, r_d2)
+    wo_local, _bsdf = diffuse_sample(-direction, normal, r_d1, r_d2)
     thr = jnp.where(shade[:, None], thr * REFLECTANCE, thr)
-    deval = diffuse_eval(-direction, wo_local, info.normal)
-    rad = rad + jnp.where(shade[:, None], thr * light * deval * info.color, 0.0)
+    deval = diffuse_eval(-direction, wo_local, normal)
+    rad = rad + jnp.where(shade[:, None], thr * light * deval * color, 0.0)
 
     wo_world = _norm(wo_local)  # the local->world quirk (volpath:777)
-    org = jnp.where(shade[:, None], info.position + wo_world * T_MIN, org)
+    org = jnp.where(shade[:, None], position + wo_world * T_MIN, org)
     new_dir = jnp.where(shade[:, None], wo_world, new_dir)
 
     # new_dir's base value is dir_after, which is refl1 on reflect lanes, so
@@ -270,7 +293,7 @@ def _bounce(
     continuing = do_reflect | pass_med | (enders & (~rr | survive))
     alive = continuing & (depth < max_depth)
 
-    return _State(org, direction, thr, rad, rngs, depth, alive)
+    return _State(org, direction, thr, rad, rngs, depth, alive, lane_id)
 
 
 @partial(
@@ -284,6 +307,7 @@ def _bounce(
         "rng_mode",
         "full_resolution",
         "return_rng",
+        "compact",
     ),
 )
 def render_beauty(
@@ -303,6 +327,7 @@ def render_beauty(
     sample_offset=0,
     rng_state=None,
     return_rng=False,
+    compact: bool = True,
 ):
     """Render an (H, W, 3) tile of the beauty pass.
 
@@ -355,14 +380,18 @@ def render_beauty(
             rng=rng_state,
             depth=jnp.zeros((r,), jnp.int32),
             alive=jnp.ones((r,), bool),
+            lane=jnp.arange(r, dtype=jnp.int32),
         )
 
-        state = jax.lax.while_loop(
-            lambda s: jnp.any(s.alive),
-            lambda s: _bounce(s, scene, bvh, lights, max_depth, rr_depth, nee_max_media),
-            state,
-        )
-        return (state.rng, acc + state.rad), None
+        def step(s):
+            s = _bounce(s, scene, bvh, lights, max_depth, rr_depth, nee_max_media)
+            return _compact(s) if compact else s
+
+        state = jax.lax.while_loop(lambda s: jnp.any(s.alive), step, state)
+        # Scatter permuted lanes back to their pixels.
+        rad = jnp.zeros((r, 3), jnp.float32).at[state.lane].set(state.rad)
+        rng_out = jnp.zeros((r,), jnp.uint32).at[state.lane].set(state.rng)
+        return (rng_out, acc + rad), None
 
     seed0 = rng_state if rng_state is not None else rng_ops.seed_from_pixel(linear)
     (final_rng, acc), _ = jax.lax.scan(
