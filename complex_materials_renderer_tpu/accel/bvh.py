@@ -55,7 +55,22 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> FlatBVH:
 
     Binned SAH on the widest centroid axis, median-split fallback when all
     centroids coincide. Returns flattened arrays (see :class:`FlatBVH`).
+    Uses the native C++ builder when available (~100x faster on the
+    reference's largest scenes); this numpy implementation is the
+    always-available fallback and the test oracle.
     """
+    from .. import native
+
+    built = native.build_bvh(triangles, leaf_size)
+    if built is not None:
+        bmin, bmax, left, count, miss, order = built
+        return FlatBVH(
+            bmin=bmin, bmax=bmax, left=left, count=count, miss=miss, tri_order=order
+        )
+    return _build_bvh_python(triangles, leaf_size)
+
+
+def _build_bvh_python(triangles: np.ndarray, leaf_size: int = 4) -> FlatBVH:
     tris = np.asarray(triangles, np.float32)
     num_tris = tris.shape[0]
     if num_tris == 0:

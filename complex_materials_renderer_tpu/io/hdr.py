@@ -81,11 +81,20 @@ def _rle_encode_channel(data: np.ndarray) -> bytes:
 
 
 def write_hdr(path: str, image: np.ndarray) -> None:
-    """Write (H, W, 3) float32 radiance to ``path`` as Radiance RGBE."""
+    """Write (H, W, 3) float32 radiance to ``path`` as Radiance RGBE.
+
+    Uses the native C++ writer when available (native/cmr_native.cpp);
+    this Python implementation is the fallback and the test oracle.
+    """
     image = np.asarray(image, np.float32)
     if image.ndim != 3 or image.shape[-1] not in (3, 4):
         raise ValueError(f"expected (H, W, 3[4]) image, got {image.shape}")
     image = image[..., :3]
+
+    from .. import native
+
+    if native.write_hdr(path, image):
+        return
     height, width = image.shape[:2]
     rgbe = float_to_rgbe(image)
 

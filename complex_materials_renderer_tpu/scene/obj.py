@@ -40,6 +40,24 @@ def parse_mtl(path: str) -> List[str]:
 
 
 def parse_obj(path: str) -> ObjMesh:
+    """Parse an .obj scene. Uses the native C++ parser when available
+    (native/cmr_native.cpp — the rebuild's tinyobjloader equivalent), with
+    this pure-Python implementation as the always-available fallback."""
+    from .. import native
+
+    parsed = native.parse_obj(path)
+    if parsed is not None:
+        vertices, indices, mat_ids, names = parsed
+        return ObjMesh(
+            vertices=vertices,
+            indices=indices,
+            material_ids=mat_ids,
+            material_names=names,
+        )
+    return _parse_obj_python(path)
+
+
+def _parse_obj_python(path: str) -> ObjMesh:
     vertices: List[List[float]] = []
     indices: List[int] = []
     face_mats: List[int] = []
