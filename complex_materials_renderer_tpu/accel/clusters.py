@@ -25,7 +25,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-CLUSTER_SIZE = 128  # one lane vector of triangles
+CLUSTER_SIZE = 128  # one lane vector of triangles (default; tests use less)
 
 
 class ClusterGrid(NamedTuple):
@@ -63,11 +63,18 @@ def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) | spread(z)
 
 
-def build_clusters(triangles: np.ndarray, mat_ids: np.ndarray | None = None) -> ClusterGrid:
+def build_clusters(
+    triangles: np.ndarray,
+    mat_ids: np.ndarray | None = None,
+    cluster_size: int = CLUSTER_SIZE,
+) -> ClusterGrid:
     """Build a ClusterGrid over ``triangles`` of shape (T, 3, 3).
 
     ``mat_ids`` (T,) lets the tracer return the hit material directly
     (saving the integrator a per-lane gather); defaults to zeros.
+    ``cluster_size`` is the tracer's statically-unrolled inner width —
+    128 (a full lane vector) in production; tests shrink it so the Pallas
+    interpreter stays fast.
     """
     tris = np.asarray(triangles, np.float32)
     num_tris = tris.shape[0]
@@ -82,8 +89,8 @@ def build_clusters(triangles: np.ndarray, mat_ids: np.ndarray | None = None) -> 
     codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
     order = np.argsort(codes, kind="stable").astype(np.int32)
 
-    num_clusters = -(-num_tris // CLUSTER_SIZE)
-    slots = num_clusters * CLUSTER_SIZE
+    num_clusters = -(-num_tris // cluster_size)
+    slots = num_clusters * cluster_size
 
     tri_index = np.full(slots, -1, np.int32)
     tri_index[:num_tris] = order
@@ -97,11 +104,11 @@ def build_clusters(triangles: np.ndarray, mat_ids: np.ndarray | None = None) -> 
     packed = np.zeros((slots, 3, 3), np.float32)
     packed[:num_tris] = tris[order]
 
-    comp = packed.reshape(num_clusters, CLUSTER_SIZE, 3, 3)
+    comp = packed.reshape(num_clusters, cluster_size, 3, 3)
 
     bounds = np.zeros((num_clusters, 8), np.float32)
     for c in range(num_clusters):
-        real = tri_index[c * CLUSTER_SIZE : (c + 1) * CLUSTER_SIZE] >= 0
+        real = tri_index[c * cluster_size : (c + 1) * cluster_size] >= 0
         member = comp[c][real]  # (n, 3, 3)
         bounds[c, 0:3] = member.min(axis=(0, 1))
         bounds[c, 3:6] = member.max(axis=(0, 1))
@@ -115,5 +122,5 @@ def build_clusters(triangles: np.ndarray, mat_ids: np.ndarray | None = None) -> 
         v2x=field(2, 0), v2y=field(2, 1), v2z=field(2, 2),
         bounds=bounds,
         tri_index=tri_index,
-        mat_id=mats.reshape(num_clusters, CLUSTER_SIZE),
+        mat_id=mats.reshape(num_clusters, cluster_size),
     )

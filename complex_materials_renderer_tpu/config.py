@@ -42,6 +42,7 @@ class RenderOptions:
     sample_chunk: int = 0  # samples traced per device pass; 0 = auto
     shard: str = "auto"  # auto | none — tile-shard over available devices
     leaf_size: int = 4  # BVH max triangles per leaf
+    cluster_size: int = 128  # Pallas tracer cluster width (lane vector)
 
     def clamp(self) -> "RenderOptions":
         """Mirror reference clamping: background outside [0,2] -> 0 (utils.cpp:80-84)."""

@@ -4,26 +4,31 @@ The hot traversal kernel (replaces the reference's hardware ray queries,
 volpath.comp.glsl:612-627) designed around what the TPU is actually fast
 at — see accel/clusters.py for the structure rationale. Shape discipline:
 
-- 1024 rays per grid block, components as one (8, 128) VPU tile each;
-- triangle data dense in the lane dimension: (C, 128) per component, one
-  dynamic *row* read per cluster (dynamic indexing never touches lanes);
-- rays re-grouped into 8-ray octets via an in-kernel transpose to
-  (128, 8) scratch, so the inner Moller-Trumbore runs as full
-  (8 rays x 128 triangles) vector ops. Octet o is exactly lane column o
-  of the block, so the cluster's per-lane slab mask reduces over sublanes
-  straight into per-octet work flags — the octet loop is then a ~5-cycle
-  scalar check per skipped octet, not a 25-op vector pre-test;
-- cluster AABBs live in SMEM; culling is a *scalar* branch (pl.when), so
-  skipped clusters cost a handful of cycles — the control-flow sparsity
-  XLA's select-based cond cannot express;
+- 1024 rays per grid block; every ray quantity is one natural (8, 128)
+  VPU tile. No transposes, no cross-lane reductions, no per-lane gathers.
+- triangle data dense in the lane dimension: (C, 128) per component; one
+  dynamic *row* read per cluster (dynamic indexing never touches lanes).
+- the inner loop is statically unrolled over the cluster's 128 triangle
+  slots: each step splats one triangle's 9 scalars from the row (static
+  lane extract) and runs Moller-Trumbore for all 1024 rays as pure
+  elementwise (8, 128) ops, updating best-hit state held in fori-loop
+  carries (registers).
+- cluster AABBs live in SMEM; culling is a *scalar* branch (lax.cond on a
+  reduce), so skipped clusters cost a handful of cycles — the
+  control-flow sparsity XLA's select-based cond cannot express.
 - blocks whose rays are all inactive (t_max <= t_min) skip everything —
   compacted wavefront dead lanes are near-free.
+
+The kernel returns the full shading payload (barycentric position,
+geometric normal, material id) so the integrator never touches XLA
+gathers on the hot path.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +61,7 @@ class DeviceClusterGrid:
     v2z: jnp.ndarray
     bounds: jnp.ndarray  # (C, 8) SMEM-bound cluster AABBs
     tri_index: jnp.ndarray  # (C*128,) slot -> original triangle id
-    mat: jnp.ndarray  # (C, 128) per-slot material id
+    mat: jnp.ndarray  # (C, 128) per-slot material id (float32 on device)
     num_clusters: int
     interpret: bool  # run the kernel interpreted (CPU tests)
 
@@ -71,13 +76,15 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         v2x=jnp.asarray(grid.v2x), v2y=jnp.asarray(grid.v2y), v2z=jnp.asarray(grid.v2z),
         bounds=jnp.asarray(grid.bounds),
         tri_index=jnp.asarray(grid.tri_index),
-        mat=jnp.asarray(grid.mat_id),
+        # Material ids ride as float32 so every update is a same-type
+        # vector select; ids are small ints, exactly representable.
+        mat=jnp.asarray(grid.mat_id, jnp.float32),
         num_clusters=int(grid.bounds.shape[0]),
         interpret=bool(interpret),
     )
 
 
-def _trace_kernel(num_clusters: int, t_min: float):
+def _trace_kernel(num_clusters: int, width: int, t_min: float):
     def kernel(
         cb_ref,  # SMEM (C, 8)
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,  # (8,128)
@@ -85,25 +92,18 @@ def _trace_kernel(num_clusters: int, t_min: float):
         v2x_ref, v2y_ref, v2z_ref, mat_ref,  # (C,128)
         t_out, slot_out, u_out, v_out, nx_out, ny_out, nz_out, mat_out,
         px_out, py_out, pz_out,  # (8,128)
-        # scratch: transposed per-octet ray state (128, 8) + per-cluster
-        # octet flags/entry (128, 1)
-        tox, toy, toz, tdx, tdy, tdz,
-        tbT, uT, vT, slotT, nxT, nyT, nzT, matT, pxT, pyT, pzT, flagT, tnT,
     ):
         TMAX = tmax_ref[:]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-
-        # Miss defaults — the active branch overwrites from scratch below,
-        # so all-dead blocks pay only these four stores.
+        # Miss defaults; the active branch overwrites them.
         t_out[:] = TMAX
-        slot_out[:] = jnp.full((8, 128), -1, jnp.int32)
+        slot_out[:] = jnp.full((8, 128), -1.0, jnp.float32)
         u_out[:] = jnp.zeros((8, 128), jnp.float32)
         v_out[:] = jnp.zeros((8, 128), jnp.float32)
         nx_out[:] = jnp.zeros((8, 128), jnp.float32)
         ny_out[:] = jnp.zeros((8, 128), jnp.float32)
         nz_out[:] = jnp.ones((8, 128), jnp.float32)
-        mat_out[:] = jnp.full((8, 128), -1, jnp.int32)
+        mat_out[:] = jnp.full((8, 128), -1.0, jnp.float32)
         px_out[:] = jnp.zeros((8, 128), jnp.float32)
         py_out[:] = jnp.zeros((8, 128), jnp.float32)
         pz_out[:] = jnp.zeros((8, 128), jnp.float32)
@@ -122,27 +122,20 @@ def _trace_kernel(num_clusters: int, t_min: float):
 
             IX, IY, IZ = safe_inv(DX), safe_inv(DY), safe_inv(DZ)
 
-            # Octet o == lane column o of the (8, 128) block (the transpose
-            # maps [s, l] -> [l, s]).
-            tox[:] = OX.T
-            toy[:] = OY.T
-            toz[:] = OZ.T
-            tdx[:] = DX.T
-            tdy[:] = DY.T
-            tdz[:] = DZ.T
-            tbT[:] = TMAX.T
-            uT[:] = jnp.zeros_like(uT)
-            vT[:] = jnp.zeros_like(vT)
-            slotT[:] = jnp.full_like(slotT, -1)
-            nxT[:] = jnp.zeros_like(nxT)
-            nyT[:] = jnp.zeros_like(nyT)
-            nzT[:] = jnp.ones_like(nzT)
-            matT[:] = jnp.full_like(matT, -1)
-            pxT[:] = jnp.zeros_like(pxT)
-            pyT[:] = jnp.zeros_like(pyT)
-            pzT[:] = jnp.zeros_like(pzT)
+            zeros = jnp.zeros((8, 128), jnp.float32)
+            state0 = (
+                TMAX,  # t_best
+                jnp.full((8, 128), -1.0, jnp.float32),  # slot
+                zeros,  # u
+                zeros,  # v
+                zeros, zeros, jnp.ones((8, 128), jnp.float32),  # normal
+                jnp.full((8, 128), -1.0, jnp.float32),  # mat
+                zeros, zeros, zeros,  # position
+            )
 
-            def cluster_body(c, carry):
+            def cluster_body(c, state):
+                t_best = state[0]
+
                 bx0 = cb_ref[c, 0]
                 by0 = cb_ref[c, 1]
                 bz0 = cb_ref[c, 2]
@@ -150,153 +143,107 @@ def _trace_kernel(num_clusters: int, t_min: float):
                 by1 = cb_ref[c, 4]
                 bz1 = cb_ref[c, 5]
 
-                # Per-lane slab test (live per-lane t_best pruning happens
-                # in the triangle hit test; octet skip below uses max t).
-                t0 = (bx0 - OX) * IX
-                t1 = (bx1 - OX) * IX
-                tn = jnp.minimum(t0, t1)
-                tf = jnp.maximum(t0, t1)
-                t0 = (by0 - OY) * IY
-                t1 = (by1 - OY) * IY
-                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                t0 = (bz0 - OZ) * IZ
-                t1 = (bz1 - OZ) * IZ
-                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                # Per-lane slab test against the live t_best.
+                s0 = (bx0 - OX) * IX
+                s1 = (bx1 - OX) * IX
+                tn = jnp.minimum(s0, s1)
+                tf = jnp.maximum(s0, s1)
+                s0 = (by0 - OY) * IY
+                s1 = (by1 - OY) * IY
+                tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+                tf = jnp.minimum(tf, jnp.maximum(s0, s1))
+                s0 = (bz0 - OZ) * IZ
+                s1 = (bz1 - OZ) * IZ
+                tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+                tf = jnp.minimum(tf, jnp.maximum(s0, s1))
                 tn = jnp.maximum(tn, t_min)
-                tf = jnp.minimum(tf, TMAX)
-                hit_lane = tn <= tf
+                tf = jnp.minimum(tf, t_best)
 
-                @pl.when(jnp.any(hit_lane))
-                def _():
-                    # Per-octet flags + conservative entry distance,
-                    # transposed so each octet reads one scalar.
-                    flagT[:] = (
-                        jnp.any(hit_lane, axis=0)
-                        .astype(jnp.int32)
-                        .reshape(1, 128)
-                        .T
-                    )
-                    tnT[:] = (
-                        jnp.min(
-                            jnp.where(hit_lane, tn, jnp.float32(3.4e38)), axis=0
+                def test_cluster(state):
+                    (t_best, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = state
+                    a_x = v0x_ref[c]
+                    a_y = v0y_ref[c]
+                    a_z = v0z_ref[c]
+                    b_x = v1x_ref[c]
+                    b_y = v1y_ref[c]
+                    b_z = v1z_ref[c]
+                    c_x = v2x_ref[c]
+                    c_y = v2y_ref[c]
+                    c_z = v2z_ref[c]
+                    m_row = mat_ref[c]
+                    base_slot = (c * width).astype(jnp.float32)
+
+                    eps = jnp.float32(1e-6)
+                    for j in range(width):
+                        ax = a_x[j]
+                        ay = a_y[j]
+                        az = a_z[j]
+                        e1x = b_x[j] - ax
+                        e1y = b_y[j] - ay
+                        e1z = b_z[j] - az
+                        e2x = c_x[j] - ax
+                        e2y = c_y[j] - ay
+                        e2z = c_z[j] - az
+
+                        # Moller-Trumbore, one triangle vs 1024 rays.
+                        px = DY * e2z - DZ * e2y
+                        py = DZ * e2x - DX * e2z
+                        pz = DX * e2y - DY * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv_det = 1.0 / jnp.where(
+                            jnp.abs(det) > 1e-12, det, jnp.float32(1e30)
                         )
-                        .reshape(1, 128)
-                        .T
-                    )
+                        sx = OX - ax
+                        sy = OY - ay
+                        sz = OZ - az
+                        uu = (sx * px + sy * py + sz * pz) * inv_det
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        vv = (DX * qx + DY * qy + DZ * qz) * inv_det
+                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        improved = (
+                            (uu >= -eps)
+                            & (vv >= -eps)
+                            & (uu + vv <= 1.0 + eps)
+                            & (tt > t_min)
+                            & (tt < t_best)
+                        )
+                        t_best = jnp.where(improved, tt, t_best)
+                        slot = jnp.where(improved, base_slot + j, slot)
+                        ub = jnp.where(improved, uu, ub)
+                        vb = jnp.where(improved, vv, vb)
+                        nxb = jnp.where(improved, e1y * e2z - e1z * e2y, nxb)
+                        nyb = jnp.where(improved, e1z * e2x - e1x * e2z, nyb)
+                        nzb = jnp.where(improved, e1x * e2y - e1y * e2x, nzb)
+                        mb = jnp.where(improved, m_row[j], mb)
+                        # Barycentric position (volpath:158-181).
+                        pxb = jnp.where(improved, ax + uu * e1x + vv * e2x, pxb)
+                        pyb = jnp.where(improved, ay + uu * e1y + vv * e2y, pyb)
+                        pzb = jnp.where(improved, az + uu * e1z + vv * e2z, pzb)
 
-                    # Cluster triangle rows: (1, 128) each.
-                    ax = v0x_ref[c].reshape(1, 128)
-                    ay = v0y_ref[c].reshape(1, 128)
-                    az = v0z_ref[c].reshape(1, 128)
-                    e1x = v1x_ref[c].reshape(1, 128) - ax
-                    e1y = v1y_ref[c].reshape(1, 128) - ay
-                    e1z = v1z_ref[c].reshape(1, 128) - az
-                    e2x = v2x_ref[c].reshape(1, 128) - ax
-                    e2y = v2y_ref[c].reshape(1, 128) - ay
-                    e2z = v2z_ref[c].reshape(1, 128) - az
-                    # Geometric normals per triangle (the reference's
-                    # cross(v1-v0, v2-v0), volpath:184; normalized by the
-                    # caller) and material ids, selected at the winning
-                    # lane so the integrator needs no per-lane gathers.
-                    nrx = e1y * e2z - e1z * e2y
-                    nry = e1z * e2x - e1x * e2z
-                    nrz = e1x * e2y - e1y * e2x
-                    mat_row = mat_ref[c].reshape(1, 128)
+                    return (t_best, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb)
 
-                    def octet_body(r8, _):
-                        tb8 = tbT[r8].reshape(8, 1)
-                        work = (flagT[r8, 0] > 0) & (tnT[r8, 0] < jnp.max(tb8))
+                return jax.lax.cond(
+                    jnp.any(tn <= tf), test_cluster, lambda s: s, state
+                )
 
-                        @pl.when(work)
-                        def _():
-                            o8x = tox[r8].reshape(8, 1)
-                            o8y = toy[r8].reshape(8, 1)
-                            o8z = toz[r8].reshape(8, 1)
-                            d8x = tdx[r8].reshape(8, 1)
-                            d8y = tdy[r8].reshape(8, 1)
-                            d8z = tdz[r8].reshape(8, 1)
+            state = jax.lax.fori_loop(0, num_clusters, cluster_body, state0)
+            (t_best, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = state
 
-                            # Moller-Trumbore: 8 rays x 128 triangles.
-                            px = d8y * e2z - d8z * e2y
-                            py = d8z * e2x - d8x * e2z
-                            pz = d8x * e2y - d8y * e2x
-                            det = e1x * px + e1y * py + e1z * pz
-                            valid = jnp.abs(det) > 1e-12
-                            inv_det = 1.0 / jnp.where(valid, det, 1.0)
-                            sx = o8x - ax
-                            sy = o8y - ay
-                            sz = o8z - az
-                            uu = (sx * px + sy * py + sz * pz) * inv_det
-                            qx = sy * e1z - sz * e1y
-                            qy = sz * e1x - sx * e1z
-                            qz = sx * e1y - sy * e1x
-                            vv = (d8x * qx + d8y * qy + d8z * qz) * inv_det
-                            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                            eps = jnp.float32(1e-6)
-                            hit = (
-                                valid
-                                & (uu >= -eps)
-                                & (vv >= -eps)
-                                & (uu + vv <= 1.0 + eps)
-                                & (tt > t_min)
-                                & (tt < tb8)
-                            )
-                            tm = jnp.where(hit, tt, jnp.float32(jnp.inf))
-                            best = jnp.min(tm, axis=1)  # (8,)
-                            j = jnp.argmin(tm, axis=1).astype(jnp.int32)
-                            improved = best < tbT[r8]
-                            sel = lane == j[:, None]
-                            u_at = jnp.sum(jnp.where(sel, uu, 0.0), axis=1)
-                            v_at = jnp.sum(jnp.where(sel, vv, 0.0), axis=1)
-                            # Barycentric hit position (the reference's
-                            # reconstruction, volpath:158-181):
-                            # p = v0 + u*e1 + v*e2.
-                            hx = ax + uu * e1x + vv * e2x
-                            hy = ay + uu * e1y + vv * e2y
-                            hz = az + uu * e1z + vv * e2z
-                            p_x = jnp.sum(jnp.where(sel, hx, 0.0), axis=1)
-                            p_y = jnp.sum(jnp.where(sel, hy, 0.0), axis=1)
-                            p_z = jnp.sum(jnp.where(sel, hz, 0.0), axis=1)
-                            n_x = jnp.sum(jnp.where(sel, nrx, 0.0), axis=1)
-                            n_y = jnp.sum(jnp.where(sel, nry, 0.0), axis=1)
-                            n_z = jnp.sum(jnp.where(sel, nrz, 0.0), axis=1)
-                            m_at = jnp.sum(jnp.where(sel, mat_row, 0), axis=1)
-                            tbT[r8] = jnp.where(improved, best, tbT[r8])
-                            slotT[r8] = jnp.where(improved, c * 128 + j, slotT[r8])
-                            uT[r8] = jnp.where(improved, u_at, uT[r8])
-                            vT[r8] = jnp.where(improved, v_at, vT[r8])
-                            nxT[r8] = jnp.where(improved, n_x, nxT[r8])
-                            nyT[r8] = jnp.where(improved, n_y, nyT[r8])
-                            nzT[r8] = jnp.where(improved, n_z, nzT[r8])
-                            matT[r8] = jnp.where(improved, m_at, matT[r8])
-                            pxT[r8] = jnp.where(improved, p_x, pxT[r8])
-                            pyT[r8] = jnp.where(improved, p_y, pyT[r8])
-                            pzT[r8] = jnp.where(improved, p_z, pzT[r8])
-
-                    jax.lax.fori_loop(0, 128, octet_body, None, unroll=False)
-
-                return carry
-
-            jax.lax.fori_loop(0, num_clusters, cluster_body, None, unroll=False)
-
-            t_out[:] = tbT[:].T
-            slot_out[:] = slotT[:].T
-            u_out[:] = uT[:].T
-            v_out[:] = vT[:].T
-            nx_out[:] = nxT[:].T
-            ny_out[:] = nyT[:].T
-            nz_out[:] = nzT[:].T
-            mat_out[:] = matT[:].T
-            px_out[:] = pxT[:].T
-            py_out[:] = pyT[:].T
-            pz_out[:] = pzT[:].T
+            t_out[:] = t_best
+            slot_out[:] = slot
+            u_out[:] = ub
+            v_out[:] = vb
+            nx_out[:] = nxb
+            ny_out[:] = nyb
+            nz_out[:] = nzb
+            mat_out[:] = mb
+            px_out[:] = pxb
+            py_out[:] = pyb
+            pz_out[:] = pzb
 
     return kernel
-
-
-from typing import NamedTuple
 
 
 class ShadedHit(NamedTuple):
@@ -312,8 +259,8 @@ class ShadedHit(NamedTuple):
 
 
 def trace_shaded_clusters(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None) -> ShadedHit:
-    """Closest-hit trace returning shading payload (normal, material id)
-    computed in-kernel — the integrator's hot path, zero XLA gathers."""
+    """Closest-hit trace returning shading payload (normal, material id,
+    position) computed in-kernel — the integrator's hot path."""
     t_raw, slot, u, v, nx, ny, nz, mat, px, py, pz, t_max_arr = _trace_core(
         o, d, grid, t_min, t_max, active
     )
@@ -332,7 +279,7 @@ def trace_closest_clusters(o, d, grid: DeviceClusterGrid, t_min, t_max, active=N
     """Closest-hit trace via the cluster kernel. Same contract as
     traverse.trace_closest: t == t_max on miss, prim indexes the original
     triangle order. Inactive lanes are encoded as t_max = 0, which the
-    kernel's block/octet predicates turn into skipped work."""
+    kernel's block predicate turns into skipped work."""
     t_raw, slot, u, v, *_rest, t_max_arr = _trace_core(
         o, d, grid, t_min, t_max, active
     )
@@ -368,14 +315,14 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
     tm = pack(eff_tmax)
 
     c = grid.num_clusters
+    width = grid.v0x.shape[1]
     ray_spec = pl.BlockSpec((8, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((c, 128), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((c, width), lambda b: (0, 0), memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.int32)
-    out_shape = [f32, i32, f32, f32, f32, f32, f32, i32, f32, f32, f32]
+    out_shape = [f32] * 11
 
     outs = pl.pallas_call(
-        _trace_kernel(c, t_min),
+        _trace_kernel(c, width, t_min),
         grid=(blocks,),
         in_specs=[
             pl.BlockSpec((c, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
@@ -387,12 +334,6 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
             pl.BlockSpec((8, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
         ] * 11,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((128, 8), jnp.float32)] * 9
-        + [pltpu.VMEM((128, 8), jnp.int32)]
-        + [pltpu.VMEM((128, 8), jnp.float32)] * 3
-        + [pltpu.VMEM((128, 8), jnp.int32)]
-        + [pltpu.VMEM((128, 8), jnp.float32)] * 3
-        + [pltpu.VMEM((128, 1), jnp.int32), pltpu.VMEM((128, 1), jnp.float32)],
         interpret=grid.interpret,
     )(
         grid.bounds,
@@ -403,9 +344,11 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
         grid.mat,
     )
 
-    (t_o, slot_o, u_o, v_o, nx_o, ny_o, nz_o, mat_o, px_o, py_o, pz_o) = (
+    (t_o, slot_f, u_o, v_o, nx_o, ny_o, nz_o, mat_f, px_o, py_o, pz_o) = (
         x.reshape(rp)[:r] for x in outs
     )
+    slot_o = slot_f.astype(jnp.int32)
+    mat_o = mat_f.astype(jnp.int32)
     return (
         t_o, slot_o, u_o, v_o, nx_o, ny_o, nz_o, mat_o,
         px_o, py_o, pz_o, t_max_arr,

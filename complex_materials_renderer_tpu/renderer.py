@@ -59,7 +59,10 @@ class Renderer:
                 from .accel.clusters import build_clusters
                 from .kernels.pallas_trace import device_cluster_grid
 
-                self._host_accel = build_clusters(scene.triangles)
+                self._host_accel = build_clusters(
+                    scene.triangles, scene.mat_ids,
+                    cluster_size=self.options.cluster_size,
+                )
                 build_fn = lambda: device_cluster_grid(self._host_accel)
             else:
                 self._host_accel = build_bvh(
