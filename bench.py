@@ -37,28 +37,13 @@ def main() -> None:
     scene = load_scene(opt.obj_path, opt)
     renderer = Renderer(scene, scene.options)
 
-    from complex_materials_renderer_tpu.render.integrator import render_beauty
-
-    def run(samples):
-        img = render_beauty(
-            renderer.camera,
-            renderer.scene_arrays,
-            renderer.bvh,
-            renderer.lights,
-            (opt.width, opt.height),
-            samples,
-            max_depth=opt.max_depth,
-            rr_depth=opt.rr_depth,
-            nee_max_media=opt.nee_max_media,
-            rng_mode=opt.rng,
-        )
-        return jax.block_until_ready(img)
-
-    # Warmup/compile.
-    run(1)
+    # Warmup/compile one pass shape.
+    warm = Renderer(scene, scene.options)
+    warm.options.num_samples = 1
+    warm.render()
 
     t0 = time.perf_counter()
-    img = run(opt.num_samples)
+    img = renderer.render()
     elapsed = time.perf_counter() - t0
 
     paths = opt.width * opt.height * opt.num_samples

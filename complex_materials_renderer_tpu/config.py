@@ -43,6 +43,7 @@ class RenderOptions:
     shard: str = "auto"  # auto | none — tile-shard over available devices
     leaf_size: int = 4  # BVH max triangles per leaf
     cluster_size: int = 128  # Pallas tracer cluster width (lane vector)
+    checkpoint: str = ""  # optional .npz accumulate-buffer checkpoint path
 
     def clamp(self) -> "RenderOptions":
         """Mirror reference clamping: background outside [0,2] -> 0 (utils.cpp:80-84)."""
@@ -140,6 +141,10 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
             v, i = take_value(i)
             if v is not None:
                 opt.shard = v
+        elif a == "--checkpoint":
+            v, i = take_value(i)
+            if v is not None:
+                opt.checkpoint = v
         else:
             opt.obj_path = a
         i += 1

@@ -15,17 +15,15 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
-from ..ops.medium import MediaTable, MediumLanes, lookup
+from ..ops.medium import MediaTable
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["v0", "v1", "v2", "mat_ids", "media", "scale"],
+    data_fields=["v0", "v1", "v2", "mat_ids", "media", "scale", "world_lo", "world_hi"],
     meta_fields=["background"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -35,6 +33,8 @@ class SceneArrays:
     ``background`` is pytree metadata (static under jit) — it selects the
     procedural shading branch at trace time like the reference's
     pcBackgroundSelect push constant selects shader branches.
+    ``world_lo``/``world_hi`` bound the scene for the integrator's ray
+    coherence sort.
     """
 
     v0: jnp.ndarray  # (T, 3) triangle vertices in ORIGINAL order
@@ -43,15 +43,30 @@ class SceneArrays:
     mat_ids: jnp.ndarray  # (T,) int32
     media: MediaTable
     scale: jnp.ndarray  # scalar float32
+    world_lo: jnp.ndarray  # (3,)
+    world_hi: jnp.ndarray  # (3,)
     background: int  # static: 0 none, 1 checkerboard, 2 cornell
 
 
-class HitInfo(NamedTuple):
-    position: jnp.ndarray  # (R, 3)
-    normal: jnp.ndarray  # (R, 3)
-    mat_id: jnp.ndarray  # (R,)
-    color: jnp.ndarray  # (R, 3)
-    medium: MediumLanes
+def make_scene_arrays(triangles, mat_ids, media: MediaTable, scale, background: int) -> SceneArrays:
+    """Assemble device scene tables from host arrays."""
+    t = jnp.asarray(triangles, jnp.float32)
+    import numpy as np
+
+    host = np.asarray(triangles, np.float32)
+    lo = host.min(axis=(0, 1))
+    hi = host.max(axis=(0, 1))
+    return SceneArrays(
+        v0=t[:, 0],
+        v1=t[:, 1],
+        v2=t[:, 2],
+        mat_ids=jnp.asarray(mat_ids),
+        media=MediaTable(*(jnp.asarray(a) for a in media)),
+        scale=jnp.float32(scale),
+        world_lo=jnp.asarray(lo),
+        world_hi=jnp.asarray(hi),
+        background=int(background),
+    )
 
 
 def shade_color(position, normal, background: int):
@@ -73,26 +88,3 @@ def shade_color(position, normal, background: int):
         )
         return color
     return base
-
-
-def get_hit_info(prim, u, v, scene: SceneArrays) -> HitInfo:
-    """Derive shading info for committed hits. ``prim`` may be -1 (miss);
-    those lanes return arbitrary-but-finite values and must be masked by
-    the caller."""
-    p = jnp.maximum(prim, 0)
-    a = scene.v0[p]
-    b = scene.v1[p]
-    c = scene.v2[p]
-    w = 1.0 - u - v
-    position = w[:, None] * a + u[:, None] * b + v[:, None] * c
-
-    raw_n = jnp.cross(b - a, c - a)
-    norm = jnp.linalg.norm(raw_n, axis=-1, keepdims=True)
-    normal = raw_n / jnp.maximum(norm, 1e-20)
-
-    mat_id = jnp.where(prim >= 0, scene.mat_ids[p], -1)
-    medium = lookup(mat_id, scene.media, scene.scale)
-    color = shade_color(position, normal, scene.background)
-    return HitInfo(
-        position=position, normal=normal, mat_id=mat_id, color=color, medium=medium
-    )

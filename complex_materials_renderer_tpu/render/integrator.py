@@ -151,17 +151,46 @@ class _State(NamedTuple):
     lane: jnp.ndarray  # (R,) int32 original lane id (compaction permutes)
 
 
-def _compact(state: _State) -> _State:
-    """Stable-partition lanes so live ones come first.
+def _spread3(v):
+    """Interleave 10-bit ints for Morton codes (classic bit smear)."""
+    v = v.astype(jnp.uint32)
+    v = (v | (v << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+    v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+    v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+    v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x09249249)
+    return v
+
+
+def _compact(state: _State, scene: SceneArrays) -> _State:
+    """Repack the wavefront: dead lanes last, live lanes sorted for ray
+    coherence.
 
     The GLSL megakernel leaves dead threads idling in their warps; here
-    dead lanes would still occupy kernel blocks, so each bounce re-packs
-    the wavefront. Blocks (and 8-ray octets) that end up all-dead are
-    skipped by the tracer's scalar predicates at near-zero cost. Stable
-    order preserves ray coherence within the survivors; radiance/RNG are
-    scattered back through ``lane`` at the end of the sample.
+    dead lanes would occupy kernel blocks, so each bounce re-sorts. The
+    key is (direction octant, Morton cell of the origin), so scattered
+    bounce rays that start near each other and head the same way land in
+    the same 1024-ray kernel block and share cluster culls — the stream-
+    compaction / ray-sorting stage of a wavefront tracer. Dead lanes sort
+    to the tail, where all-dead blocks are skipped by the tracer's scalar
+    predicate at near-zero cost. Radiance/RNG are scattered back through
+    ``lane`` at the end of the sample.
     """
-    order = jnp.argsort(jnp.logical_not(state.alive), stable=True)
+    extent = jnp.maximum(scene.world_hi - scene.world_lo, 1e-6)
+    rel = (state.org - scene.world_lo) / extent
+    q = jnp.clip(rel * 32.0, 0.0, 31.0).astype(jnp.uint32)
+    cell = (
+        (_spread3(q[:, 0]) << jnp.uint32(2))
+        | (_spread3(q[:, 1]) << jnp.uint32(1))
+        | _spread3(q[:, 2])
+    )
+    octant = (
+        (state.dir[:, 0] > 0).astype(jnp.uint32) * jnp.uint32(4)
+        + (state.dir[:, 1] > 0).astype(jnp.uint32) * jnp.uint32(2)
+        + (state.dir[:, 2] > 0).astype(jnp.uint32)
+    )
+    key = (octant << jnp.uint32(15)) | cell
+    key = jnp.where(state.alive, key, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
     return _State(*(jnp.take(x, order, axis=0) for x in state))
 
 
@@ -385,7 +414,7 @@ def render_beauty(
 
         def step(s):
             s = _bounce(s, scene, bvh, lights, max_depth, rr_depth, nee_max_media)
-            return _compact(s) if compact else s
+            return _compact(s, scene) if compact else s
 
         state = jax.lax.while_loop(lambda s: jnp.any(s.alive), step, state)
         # Scatter permuted lanes back to their pixels.

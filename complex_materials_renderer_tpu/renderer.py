@@ -25,7 +25,7 @@ from .kernels.traverse import DeviceBVH, device_bvh
 from .ops.camera import Camera, make_camera
 from .ops.medium import MediaTable
 from .render.aov import render_aov
-from .render.hitinfo import SceneArrays
+from .render.hitinfo import make_scene_arrays
 from .render.integrator import Lights, render_beauty
 from .scene import Scene
 from .utils.timing import PhaseTimer
@@ -34,7 +34,7 @@ from .utils.timing import PhaseTimer
 # Paths traced per device pass. Bounds single-dispatch runtime (the TPU
 # runtime, like the Windows GPU watchdog the reference warns about, kills
 # very long dispatches) while keeping lanes wide enough to fill the VPU.
-PATHS_PER_PASS = int(os.environ.get("CMR_PATHS_PER_PASS", 1 << 21))
+PATHS_PER_PASS = int(os.environ.get("CMR_PATHS_PER_PASS", 1 << 18))
 
 
 def _auto_sample_chunk(width: int, height: int) -> int:
@@ -73,15 +73,12 @@ class Renderer:
                 )
         with self.timer.phase("upload"):
             self.bvh = build_fn()
-            tris = jnp.asarray(scene.triangles, jnp.float32)
-            self.scene_arrays = SceneArrays(
-                v0=tris[:, 0],
-                v1=tris[:, 1],
-                v2=tris[:, 2],
-                mat_ids=jnp.asarray(scene.mat_ids),
-                media=MediaTable(*(jnp.asarray(a) for a in scene.media)),
-                scale=jnp.float32(self.options.scale),
-                background=int(self.options.background),
+            self.scene_arrays = make_scene_arrays(
+                scene.triangles,
+                scene.mat_ids,
+                scene.media,
+                self.options.scale,
+                self.options.background,
             )
         self.camera: Camera = make_camera(
             self.options.camera_pos, self.options.camera_look_at, self.options.camera_fov
@@ -93,8 +90,18 @@ class Renderer:
         )
         self.triangles = scene.triangles
 
-    def render(self) -> np.ndarray:
+    def render(self, checkpoint_path: Optional[str] = None) -> np.ndarray:
+        """Render the configured image.
+
+        ``checkpoint_path``: optional .npz path for accumulate-buffer
+        checkpointing — the framebuffer plus per-row-block RNG state is
+        saved after every device pass, and an interrupted render resumes
+        from it with identical results (the checkpoint is removed on
+        completion). Not a reference capability (SURVEY §5); free here
+        because the accumulation buffer is the renderer's entire state.
+        """
         opt = self.options
+        checkpoint_path = checkpoint_path or (opt.checkpoint or None)
         resolution = (opt.width, opt.height)
         if opt.aov != "beauty":
             with self.timer.phase("render"):
@@ -126,18 +133,40 @@ class Renderer:
         # Single device: chunk the work into bounded device passes. The
         # reference's single giant dispatch is exactly what trips GPU
         # watchdogs (README.md:9-10); chunking rows x samples removes that
-        # failure mode and enables progress reporting. Parity RNG chunks
-        # carry the per-pixel PCG stream across sample chunks so the
-        # result is identical to one monolithic pass.
+        # failure mode, enables progress reporting, and makes the
+        # accumulation buffer a natural checkpoint (the framebuffer IS the
+        # renderer's whole state). Parity RNG chunks carry the per-pixel
+        # PCG stream across sample chunks so the result is identical to
+        # one monolithic pass.
         chunk = opt.sample_chunk or _auto_sample_chunk(opt.width, opt.height)
         chunk = max(1, min(chunk, opt.num_samples))
         rows = _auto_row_chunk(opt.width, chunk)
+
         acc = np.zeros((opt.height, opt.width, 3), np.float32)
+        rng_rows: dict = {}
+        done_rows: dict = {}
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            state = np.load(checkpoint_path, allow_pickle=True)
+            if (
+                tuple(state["shape"]) == acc.shape
+                and int(state["rows"]) == rows
+                and int(state["chunk"]) == chunk
+            ):
+                acc = np.array(state["acc"], np.float32)
+                done_rows = dict(
+                    zip(state["row_ids"].tolist(), state["done"].tolist())
+                )
+                rng_saved = state["rng"]
+                for i, row0 in enumerate(state["row_ids"].tolist()):
+                    rng_rows[row0] = rng_saved[i]
+
         with self.timer.phase("render"):
             for row0 in range(0, opt.height, rows):
                 tile_h = min(rows, opt.height - row0)
-                rng_state = None
-                done = 0
+                rng_state = (
+                    jnp.asarray(rng_rows[row0]) if row0 in rng_rows else None
+                )
+                done = done_rows.get(row0, 0)
                 while done < opt.num_samples:
                     n = min(chunk, opt.num_samples - done)
                     img, rng_state = render_beauty(
@@ -161,7 +190,36 @@ class Renderer:
                         jax.block_until_ready(img)
                     ) * (n / opt.num_samples)
                     done += n
+                    if checkpoint_path:
+                        rng_rows[row0] = np.asarray(rng_state)
+                        done_rows[row0] = done
+                        self._save_checkpoint(
+                            checkpoint_path, acc, rows, chunk, done_rows, rng_rows
+                        )
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)
         return acc
+
+    @staticmethod
+    def _save_checkpoint(path, acc, rows, chunk, done_rows, rng_rows):
+        row_ids = sorted(done_rows)
+        tmp = path + ".tmp"
+        rng_obj = np.empty(len(row_ids), dtype=object)
+        for i, r in enumerate(row_ids):
+            rng_obj[i] = np.asarray(rng_rows[r])
+        np.savez(
+            tmp,
+            acc=acc,
+            shape=np.asarray(acc.shape),
+            rows=rows,
+            chunk=chunk,
+            row_ids=np.asarray(row_ids, np.int64),
+            done=np.asarray([done_rows[r] for r in row_ids], np.int64),
+            rng=rng_obj,
+        )
+        # np.savez appends .npz when the name lacks it.
+        actual = tmp if tmp.endswith(".npz") else tmp + ".npz"
+        os.replace(actual, path)
 
     def stats(self) -> dict:
         return dict(self.timer.items())

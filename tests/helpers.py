@@ -10,7 +10,7 @@ from complex_materials_renderer_tpu.accel import build_bvh
 from complex_materials_renderer_tpu.kernels.traverse import device_bvh
 from complex_materials_renderer_tpu.ops.camera import make_camera
 from complex_materials_renderer_tpu.ops.medium import MediaTable
-from complex_materials_renderer_tpu.render.hitinfo import SceneArrays
+from complex_materials_renderer_tpu.render.hitinfo import make_scene_arrays
 from complex_materials_renderer_tpu.render.integrator import Lights
 
 
@@ -68,16 +68,7 @@ def make_test_scene(with_medium=True):
 def assemble(tris, mat_ids, media, background=1, scale=1.0, leaf_size=4):
     flat = build_bvh(tris, leaf_size=leaf_size)
     bvh = device_bvh(flat, tris, leaf_size=leaf_size)
-    t = jnp.asarray(tris)
-    scene = SceneArrays(
-        v0=t[:, 0],
-        v1=t[:, 1],
-        v2=t[:, 2],
-        mat_ids=jnp.asarray(mat_ids),
-        media=MediaTable(*(jnp.asarray(a) for a in media)),
-        scale=jnp.float32(scale),
-        background=background,
-    )
+    scene = make_scene_arrays(tris, mat_ids, media, scale, background)
     return scene, bvh
 
 

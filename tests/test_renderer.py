@@ -63,3 +63,36 @@ def test_aov_render_via_renderer(showcase_scene):
     img = Renderer(showcase_scene, opt).render()
     assert img.shape == (20, 24, 3)
     assert img.min() < 1000.0  # something visible
+
+
+def test_checkpoint_resume(showcase_scene, tmp_path, monkeypatch):
+    """Interrupted chunked render resumes from the accumulate-buffer
+    checkpoint with identical results."""
+    opt = dataclasses.replace(showcase_scene.options, backend="bvh", num_samples=4)
+    monkeypatch.setattr(renderer_mod, "PATHS_PER_PASS", 24 * 10)
+    full = Renderer(showcase_scene, opt).render()
+
+    ckpt = str(tmp_path / "render.ckpt.npz")
+
+    class Boom(RuntimeError):
+        pass
+
+    # Interrupt after a few passes by wrapping render_beauty.
+    calls = {"n": 0}
+    real = renderer_mod.render_beauty
+
+    def exploding(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise Boom()
+        return real(*a, **kw)
+
+    monkeypatch.setattr(renderer_mod, "render_beauty", exploding)
+    with pytest.raises(Boom):
+        Renderer(showcase_scene, opt).render(checkpoint_path=ckpt)
+    assert os.path.exists(ckpt)
+
+    monkeypatch.setattr(renderer_mod, "render_beauty", real)
+    resumed = Renderer(showcase_scene, opt).render(checkpoint_path=ckpt)
+    np.testing.assert_allclose(resumed, full, rtol=1e-6, atol=1e-7)
+    assert not os.path.exists(ckpt)  # removed on completion
