@@ -34,13 +34,14 @@ def main() -> None:
     opt.rng = "counter"  # sample-parallel-safe mode is the perf path
     opt.shard = "none"  # single-chip number
 
+    import dataclasses
+
     scene = load_scene(opt.obj_path, opt)
     renderer = Renderer(scene, scene.options)
 
-    # Warmup/compile one pass shape.
-    warm = Renderer(scene, scene.options)
-    warm.options.num_samples = 1
-    warm.render()
+    # Warmup/compile both pass signatures (fresh-seed and carried-RNG).
+    warm_opt = dataclasses.replace(scene.options, num_samples=2, sample_chunk=1)
+    Renderer(scene, warm_opt).render()
 
     t0 = time.perf_counter()
     img = renderer.render()

@@ -63,8 +63,10 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--aov\tOutput channel: beauty (default), depth, normal, topology
 \t--max-depth\tMaximum path depth (default: 32)
 \t--rng\tparity (reference-matching PCG stream) or counter (sample-parallel)
-\t--backend\tbvh (default) or naive (brute-force oracle)
+\t--backend\tauto (default) | cluster (Pallas TPU kernel) | bvh (XLA)
 \t--shard\tauto (tile-shard across devices) or none
+\t--nee-bound\tMax media crossings along shadow rays (default: 4)
+\t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present)
 Any bare argument is treated as the .obj scene path."""
 
 

@@ -108,7 +108,8 @@ def sample_direct_light(
             T_MIN, t_max, active=act,
         )
 
-    for _ in range(max_media):
+    def march_step(carry):
+        trans, origin, remaining = carry
         run = active & (remaining > 0.0)
         h1 = shaded(origin, remaining * 0.999, run)
         med1 = lookup(h1.mat_id, scene.media, scene.scale)
@@ -136,6 +137,20 @@ def sample_direct_light(
         # enter-without-exit also ends it with transmittance kept
         # (volpath:414-421).
         remaining = jnp.where(pair, rem_after_enter - h2.t, 0.0)
+        return trans, origin, remaining
+
+    carry = (trans, origin, remaining)
+    for _ in range(max_media):
+        # Most bounces cross zero or one media pair; skip whole march
+        # iterations when no lane still has distance to cover (real branch
+        # on TPU: lax.cond with a scalar predicate).
+        carry = jax.lax.cond(
+            jnp.any(active & (carry[2] > 0.0)),
+            march_step,
+            lambda c: c,
+            carry,
+        )
+    trans = carry[0]
 
     return light_value * trans
 
@@ -231,11 +246,21 @@ def _bounce(
     depth = depth + jnp.where(has_med, 1, 0)  # volpath:669 (also hit by :653)
 
     # --- distance-to-boundary trace (volpath:675-688) ---
-    dist_hit = trace_shaded(
-        position, dir_after, bvh, scene.v0, scene.v1, scene.v2, scene.mat_ids,
-        T_MIN, T_MAX, active=transmitted,
+    # Only medium-transmitted lanes need it; skip the trace entirely on
+    # all-surface bounces (scalar lax.cond branch).
+    def dist_trace(_):
+        h = trace_shaded(
+            position, dir_after, bvh, scene.v0, scene.v1, scene.v2,
+            scene.mat_ids, T_MIN, T_MAX, active=transmitted,
+        )
+        return jnp.where(h.hit, h.t, T_MAX)
+
+    seg_len = jax.lax.cond(
+        jnp.any(transmitted),
+        dist_trace,
+        lambda _: jnp.full(position.shape[:1], T_MAX, jnp.float32),
+        None,
     )
-    seg_len = jnp.where(dist_hit.hit, dist_hit.t, T_MAX)
 
     # --- free-flight sampling (volpath:691) ---
     rngs, rand_dist = rng_ops.next_float_masked(rngs, transmitted)

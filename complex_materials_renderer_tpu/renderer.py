@@ -31,18 +31,23 @@ from .scene import Scene
 from .utils.timing import PhaseTimer
 
 
-# Paths traced per device pass. Bounds single-dispatch runtime (the TPU
-# runtime, like the Windows GPU watchdog the reference warns about, kills
-# very long dispatches) while keeping lanes wide enough to fill the VPU.
+# Pass shaping. LANES_PER_PASS bounds the wavefront width (empirically the
+# sweet spot: bigger wavefronts stretch the bounce loop's straggler tail);
+# PATHS_PER_PASS bounds lanes x samples per device pass, which bounds
+# single-dispatch runtime (the TPU runtime, like the Windows GPU watchdog
+# the reference warns about, kills very long dispatches) and amortizes
+# per-dispatch host/tunnel latency over an in-pass sample scan.
+LANES_PER_PASS = int(os.environ.get("CMR_LANES_PER_PASS", 1 << 16))
 PATHS_PER_PASS = int(os.environ.get("CMR_PATHS_PER_PASS", 1 << 18))
 
 
 def _auto_sample_chunk(width: int, height: int) -> int:
-    return max(1, PATHS_PER_PASS // (width * height))
+    lanes = min(LANES_PER_PASS, width * height)
+    return max(1, PATHS_PER_PASS // lanes)
 
 
 def _auto_row_chunk(width: int, sample_chunk: int) -> int:
-    return max(1, PATHS_PER_PASS // (width * sample_chunk))
+    return max(1, LANES_PER_PASS // width)
 
 
 class Renderer:
