@@ -39,8 +39,12 @@ def main() -> None:
     scene = load_scene(opt.obj_path, opt)
     renderer = Renderer(scene, scene.options)
 
-    # Warmup/compile both pass signatures (fresh-seed and carried-RNG).
-    warm_opt = dataclasses.replace(scene.options, num_samples=2, sample_chunk=1)
+    # Warmup/compile both pass signatures (fresh-seed and carried-RNG)
+    # with the same auto pass shape the timed render uses.
+    from complex_materials_renderer_tpu.renderer import _auto_sample_chunk
+
+    auto_chunk = min(_auto_sample_chunk(opt.width, opt.height), opt.num_samples)
+    warm_opt = dataclasses.replace(scene.options, num_samples=2 * auto_chunk)
     Renderer(scene, warm_opt).render()
 
     t0 = time.perf_counter()

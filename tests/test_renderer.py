@@ -52,7 +52,8 @@ def test_chunked_passes_match_monolithic(showcase_scene, monkeypatch):
     stream across chunks)."""
     opt = dataclasses.replace(showcase_scene.options, backend="bvh", num_samples=4)
     mono = Renderer(showcase_scene, opt).render()
-    # Force tiny device passes: 24*5 rows * 1 sample each.
+    # Force tiny device passes: 5-row tiles, 1 sample each.
+    monkeypatch.setattr(renderer_mod, "LANES_PER_PASS", 24 * 5)
     monkeypatch.setattr(renderer_mod, "PATHS_PER_PASS", 24 * 5)
     chunked = Renderer(showcase_scene, opt).render()
     np.testing.assert_allclose(chunked, mono, rtol=1e-6, atol=1e-7)
@@ -69,6 +70,7 @@ def test_checkpoint_resume(showcase_scene, tmp_path, monkeypatch):
     """Interrupted chunked render resumes from the accumulate-buffer
     checkpoint with identical results."""
     opt = dataclasses.replace(showcase_scene.options, backend="bvh", num_samples=4)
+    monkeypatch.setattr(renderer_mod, "LANES_PER_PASS", 24 * 10)
     monkeypatch.setattr(renderer_mod, "PATHS_PER_PASS", 24 * 10)
     full = Renderer(showcase_scene, opt).render()
 
