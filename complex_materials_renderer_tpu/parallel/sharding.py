@@ -59,9 +59,19 @@ def render_beauty_sharded(
     nee_max_media: int = 4,
     rng_mode: str = "parity",
     mesh: Mesh | None = None,
+    row_offset: int = 0,
+    full_resolution=None,
+    sample_offset: int = 0,
 ):
-    """Render (H, W, 3), rows sharded over 'tile', samples over 'sample'."""
+    """Render (H, W, 3), rows sharded over 'tile', samples over 'sample'.
+
+    ``row_offset``/``full_resolution``/``sample_offset`` place this call as
+    a band/chunk of a larger render (the host loops bands x sample chunks
+    so no single dispatch runs unboundedly long — same chunking contract
+    as the single-device path).
+    """
     width, height = resolution
+    full_resolution = full_resolution if full_resolution else (width, height)
     if mesh is None:
         mesh = make_render_mesh()
     n_tile = mesh.shape["tile"]
@@ -92,9 +102,9 @@ def render_beauty_sharded(
             rr_depth=rr_depth,
             nee_max_media=nee_max_media,
             rng_mode=rng_mode,
-            row_offset=row_start[0],
-            full_resolution=(width, height),
-            sample_offset=sample_start[0],
+            row_offset=row_start[0] + row_offset,
+            full_resolution=full_resolution,
+            sample_offset=sample_start[0] + jnp.uint32(sample_offset),
         )
         # Average partial framebuffers over the sample axis.
         img = jax.lax.pmean(img, axis_name="sample")

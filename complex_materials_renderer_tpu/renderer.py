@@ -117,23 +117,51 @@ class Renderer:
             return img
 
         if opt.shard == "auto" and len(jax.devices()) > 1:
-            from .parallel.sharding import render_beauty_sharded
+            from .parallel.sharding import make_render_mesh, render_beauty_sharded
 
-            with self.timer.phase("render"):
-                img = render_beauty_sharded(
-                    self.camera,
-                    self.scene_arrays,
-                    self.bvh,
-                    self.lights,
-                    resolution,
-                    opt.num_samples,
-                    max_depth=opt.max_depth,
-                    rr_depth=opt.rr_depth,
-                    nee_max_media=opt.nee_max_media,
-                    rng_mode=opt.rng,
+            mesh = make_render_mesh()
+            n_tile = mesh.shape["tile"]
+            # Chunk bands x sample chunks so no sharded dispatch runs
+            # unboundedly long (parity mode keeps all samples of a pixel in
+            # one pass to preserve its sequential stream, so it chunks rows
+            # only; counter mode chunks samples too).
+            band = max(1, (LANES_PER_PASS * n_tile) // opt.width)
+            band = min(band, opt.height)
+            if opt.rng == "counter":
+                chunk = opt.sample_chunk or max(
+                    1, PATHS_PER_PASS // (min(LANES_PER_PASS, band * opt.width))
                 )
-                img = np.asarray(jax.block_until_ready(img))
-            return img
+                chunk = max(1, min(chunk, opt.num_samples))
+            else:
+                chunk = opt.num_samples
+            acc = np.zeros((opt.height, opt.width, 3), np.float32)
+            with self.timer.phase("render"):
+                for row0 in range(0, opt.height, band):
+                    band_h = min(band, opt.height - row0)
+                    done = 0
+                    while done < opt.num_samples:
+                        n = min(chunk, opt.num_samples - done)
+                        img = render_beauty_sharded(
+                            self.camera,
+                            self.scene_arrays,
+                            self.bvh,
+                            self.lights,
+                            (opt.width, band_h),
+                            n,
+                            max_depth=opt.max_depth,
+                            rr_depth=opt.rr_depth,
+                            nee_max_media=opt.nee_max_media,
+                            rng_mode=opt.rng,
+                            mesh=mesh,
+                            row_offset=row0,
+                            full_resolution=resolution,
+                            sample_offset=done,
+                        )
+                        acc[row0 : row0 + band_h] += np.asarray(
+                            jax.block_until_ready(img)
+                        ) * (n / opt.num_samples)
+                        done += n
+            return acc
 
         # Single device: chunk the work into bounded device passes. The
         # reference's single giant dispatch is exactly what trips GPU

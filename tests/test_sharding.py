@@ -81,3 +81,30 @@ def test_sample_parallel_requires_counter(setup):
             rng_mode="parity",
             mesh=make_render_mesh(sample_parallel=2),
         )
+
+
+def test_sharded_chunked_renderer_matches_single(setup):
+    """The Renderer's sharded band/sample-chunk loop reproduces the
+    single-device render."""
+    import dataclasses
+    import os
+
+    import complex_materials_renderer_tpu.renderer as renderer_mod
+    from complex_materials_renderer_tpu.renderer import Renderer
+    from complex_materials_renderer_tpu.scene import load_scene
+
+    showcase = os.path.join(os.path.dirname(__file__), "..", "scenes", "showcase.obj")
+    if not os.path.exists(showcase):
+        pytest.skip("showcase scene not generated")
+    base = load_scene(showcase)
+    opt = dataclasses.replace(
+        base.options,
+        width=16,
+        height=24,
+        num_samples=4,
+        backend="bvh",
+        cluster_size=8,
+    )
+    single = Renderer(base, dataclasses.replace(opt, shard="none")).render()
+    sharded = Renderer(base, dataclasses.replace(opt, shard="auto")).render()
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
