@@ -41,12 +41,16 @@ class ClusterGrid(NamedTuple):
     v2y: np.ndarray
     v2z: np.ndarray
     bounds: np.ndarray  # (C, 8): min xyz, max xyz, pad, pad
+    super_bounds: np.ndarray  # (S, 8) AABBs over groups of SUPER_FACTOR clusters
     tri_index: np.ndarray  # (C*128,) original triangle id per slot; -1 = pad
     mat_id: np.ndarray  # (C, 128) per-slot material id; -1 on pad slots
 
     @property
     def num_clusters(self) -> int:
         return self.bounds.shape[0]
+
+
+SUPER_FACTOR = 16  # clusters per super-cluster (second culling level)
 
 
 def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
@@ -113,6 +117,15 @@ def build_clusters(
         bounds[c, 0:3] = member.min(axis=(0, 1))
         bounds[c, 3:6] = member.max(axis=(0, 1))
 
+    # Second culling level: AABBs over groups of SUPER_FACTOR consecutive
+    # (Morton-adjacent, hence spatially tight) clusters.
+    num_supers = -(-num_clusters // SUPER_FACTOR)
+    super_bounds = np.zeros((num_supers, 8), np.float32)
+    for s in range(num_supers):
+        grp = bounds[s * SUPER_FACTOR : (s + 1) * SUPER_FACTOR]
+        super_bounds[s, 0:3] = grp[:, 0:3].min(axis=0)
+        super_bounds[s, 3:6] = grp[:, 3:6].max(axis=0)
+
     def field(vi, ci):
         return np.ascontiguousarray(comp[:, :, vi, ci])
 
@@ -121,6 +134,7 @@ def build_clusters(
         v1x=field(1, 0), v1y=field(1, 1), v1z=field(1, 2),
         v2x=field(2, 0), v2y=field(2, 1), v2z=field(2, 2),
         bounds=bounds,
+        super_bounds=super_bounds,
         tri_index=tri_index,
         mat_id=mats.reshape(num_clusters, cluster_size),
     )

@@ -44,9 +44,9 @@ BLOCK_RAYS = 1024  # 8 sublanes x 128 lanes
     jax.tree_util.register_dataclass,
     data_fields=[
         "v0x", "v0y", "v0z", "v1x", "v1y", "v1z", "v2x", "v2y", "v2z",
-        "bounds", "tri_index", "mat",
+        "bounds", "super_bounds", "tri_index", "mat",
     ],
-    meta_fields=["num_clusters", "interpret"],
+    meta_fields=["num_clusters", "num_supers", "interpret"],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceClusterGrid:
@@ -60,9 +60,11 @@ class DeviceClusterGrid:
     v2y: jnp.ndarray
     v2z: jnp.ndarray
     bounds: jnp.ndarray  # (C, 8) SMEM-bound cluster AABBs
+    super_bounds: jnp.ndarray  # (S, 8) SMEM-bound super-cluster AABBs
     tri_index: jnp.ndarray  # (C*128,) slot -> original triangle id
     mat: jnp.ndarray  # (C, 128) per-slot material id (float32 on device)
     num_clusters: int
+    num_supers: int
     interpret: bool  # run the kernel interpreted (CPU tests)
 
 
@@ -75,18 +77,23 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         v1x=jnp.asarray(grid.v1x), v1y=jnp.asarray(grid.v1y), v1z=jnp.asarray(grid.v1z),
         v2x=jnp.asarray(grid.v2x), v2y=jnp.asarray(grid.v2y), v2z=jnp.asarray(grid.v2z),
         bounds=jnp.asarray(grid.bounds),
+        super_bounds=jnp.asarray(grid.super_bounds),
         tri_index=jnp.asarray(grid.tri_index),
         # Material ids ride as float32 so every update is a same-type
         # vector select; ids are small ints, exactly representable.
         mat=jnp.asarray(grid.mat_id, jnp.float32),
         num_clusters=int(grid.bounds.shape[0]),
+        num_supers=int(grid.super_bounds.shape[0]),
         interpret=bool(interpret),
     )
 
 
-def _trace_kernel(num_clusters: int, width: int, t_min: float):
+def _trace_kernel(num_clusters: int, num_supers: int, width: int, t_min: float):
+    from ..accel.clusters import SUPER_FACTOR
+
     def kernel(
         cb_ref,  # SMEM (C, 8)
+        sb_ref,  # SMEM (S, 8)
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,  # (8,128)
         v0x_ref, v0y_ref, v0z_ref, v1x_ref, v1y_ref, v1z_ref,
         v2x_ref, v2y_ref, v2z_ref, mat_ref,  # (C,128)
@@ -133,17 +140,15 @@ def _trace_kernel(num_clusters: int, width: int, t_min: float):
                 zeros, zeros, zeros,  # position
             )
 
-            def cluster_body(c, state):
-                t_best = state[0]
-
-                bx0 = cb_ref[c, 0]
-                by0 = cb_ref[c, 1]
-                bz0 = cb_ref[c, 2]
-                bx1 = cb_ref[c, 3]
-                by1 = cb_ref[c, 4]
-                bz1 = cb_ref[c, 5]
-
-                # Per-lane slab test against the live t_best.
+            def slab_any(ref, idx, t_best):
+                """Scalar: does any lane's ray enter this AABB within
+                [t_min, its live t_best]?"""
+                bx0 = ref[idx, 0]
+                by0 = ref[idx, 1]
+                bz0 = ref[idx, 2]
+                bx1 = ref[idx, 3]
+                by1 = ref[idx, 4]
+                bz1 = ref[idx, 5]
                 s0 = (bx0 - OX) * IX
                 s1 = (bx1 - OX) * IX
                 tn = jnp.minimum(s0, s1)
@@ -158,6 +163,10 @@ def _trace_kernel(num_clusters: int, width: int, t_min: float):
                 tf = jnp.minimum(tf, jnp.maximum(s0, s1))
                 tn = jnp.maximum(tn, t_min)
                 tf = jnp.minimum(tf, t_best)
+                return jnp.any(tn <= tf)
+
+            def cluster_body(c, state):
+                t_best = state[0]
 
                 def test_cluster(state):
                     (t_best, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = state
@@ -225,10 +234,20 @@ def _trace_kernel(num_clusters: int, width: int, t_min: float):
                     return (t_best, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb)
 
                 return jax.lax.cond(
-                    jnp.any(tn <= tf), test_cluster, lambda s: s, state
+                    slab_any(cb_ref, c, t_best), test_cluster, lambda s: s, state
                 )
 
-            state = jax.lax.fori_loop(0, num_clusters, cluster_body, state0)
+            def super_body(sp, state):
+                lo = sp * SUPER_FACTOR
+                hi = jnp.minimum(lo + SUPER_FACTOR, num_clusters)
+                return jax.lax.cond(
+                    slab_any(sb_ref, sp, state[0]),
+                    lambda st: jax.lax.fori_loop(lo, hi, cluster_body, st),
+                    lambda st: st,
+                    state,
+                )
+
+            state = jax.lax.fori_loop(0, num_supers, super_body, state0)
             (t_best, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = state
 
             t_out[:] = t_best
@@ -321,11 +340,13 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
     f32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.float32)
     out_shape = [f32] * 11
 
+    s_count = grid.num_supers
     outs = pl.pallas_call(
-        _trace_kernel(c, width, t_min),
+        _trace_kernel(c, s_count, width, t_min),
         grid=(blocks,),
         in_specs=[
             pl.BlockSpec((c, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((s_count, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             tri_spec, tri_spec, tri_spec, tri_spec, tri_spec, tri_spec,
             tri_spec, tri_spec, tri_spec, tri_spec,
@@ -337,6 +358,7 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
         interpret=grid.interpret,
     )(
         grid.bounds,
+        grid.super_bounds,
         ox, oy, oz, dx, dy, dz, tm,
         grid.v0x, grid.v0y, grid.v0z,
         grid.v1x, grid.v1y, grid.v1z,
