@@ -39,7 +39,7 @@ class RenderOptions:
     aov: str = "beauty"  # beauty | depth | normal | topology
     backend: str = "auto"  # auto | cluster (pallas) | bvh (threaded, XLA)
     rng: str = "parity"  # parity (sequential per pixel, ref volpath:575) | counter
-    sample_chunk: int = 0  # samples traced per device pass; 0 = auto
+    sample_chunk: int = 0  # samples per device pass; 0 = auto
     shard: str = "auto"  # auto | none — tile-shard over available devices
     leaf_size: int = 4  # BVH max triangles per leaf
     cluster_size: int = 128  # Pallas tracer cluster width (lane vector)

@@ -106,16 +106,16 @@ def build(outdir: str):
     groups.append(("studio_walls", *stage))
 
     sv, sf = icosphere(3)
-    groups.append(("milk_sphere", sv * 0.85 + np.array([-1.25, 0.86, 0.3]), sf))
+    groups.append(("milk_sphere", sv * 0.8 + np.array([-1.05, 0.81, 0.2]), sf))
 
     gv, gf = icosphere(1)
     gv = gv @ rot_y(20).T
     gv[:, 1] *= 1.25  # slightly elongated gem
-    groups.append(("ruby_gem", gv * 0.62 + np.array([1.3, 0.79, 0.6]), gf))
+    groups.append(("ruby_gem", gv * 0.6 + np.array([1.15, 0.76, 0.4]), gf))
 
     cv, cf = cube()
     cv = cv @ rot_y(30).T
-    groups.append(("glass_cube", cv * 0.55 + np.array([0.1, 0.551, -1.1]), cf))
+    groups.append(("glass_cube", cv * 0.52 + np.array([0.05, 0.521, -1.0]), cf))
 
     mtl_names = [name for name, _, _ in groups]
     obj_path = os.path.join(outdir, "showcase.obj")
@@ -140,10 +140,10 @@ def build(outdir: str):
     # material dictionary format (sigma per mm; scale=10 means 1 unit=1cm).
     scene_json = {
         "scene": {
-            "camera": [0.4, 2.1, 5.6],
-            "cameraLookAt": [0.0, 0.9, -0.2],
+            "camera": [0.3, 2.6, 9.5],
+            "cameraLookAt": [0.0, 0.8, -0.2],
             "fov": 36.0,
-            "lightPos": [-1.2, 4.2, 3.6],
+            "lightPos": [-1.6, 4.5, 4.2],
             "lightColor": [0.8, 0.8, 0.6],
             "lightIntensity": 100.0,
             "scale": 10.0,
