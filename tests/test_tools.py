@@ -45,3 +45,21 @@ def test_list_materials(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "milk" in out and "sigma_s" in out
+
+
+def test_compare_tool(tmp_path):
+    import numpy as np
+
+    from complex_materials_renderer_tpu.io import write_hdr
+    from complex_materials_renderer_tpu.tools.compare import compare, main as cmp_main
+
+    rng = np.random.default_rng(3)
+    a = (rng.random((8, 16, 3)) * 2).astype(np.float32)
+    b = a * 1.02  # beyond rgbe quantization
+    pa, pb = str(tmp_path / "a.hdr"), str(tmp_path / "b.hdr")
+    write_hdr(pa, a)
+    write_hdr(pb, b)
+    stats = compare(pa, pb)
+    assert stats["rmse"] < 0.05  # ~2% scaled difference
+    assert cmp_main([pa, pa, "--threshold", "1e-6"]) == 0
+    assert cmp_main([pa, pb, "--threshold", "1e-9"]) == 1
