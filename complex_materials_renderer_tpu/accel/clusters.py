@@ -29,17 +29,19 @@ CLUSTER_SIZE = 128  # one lane vector of triangles (default; tests use less)
 
 
 class ClusterGrid(NamedTuple):
-    # (C, 128) per-component triangle vertices, cluster-major, zero-padded
-    # (degenerate zero triangles never intersect: det == 0).
+    # (C, 128) per-component triangle data, cluster-major, zero-padded
+    # (degenerate zero triangles never intersect: det == 0). Edges are
+    # precomputed (e1 = v1-v0, e2 = v2-v0) — Moller-Trumbore consumes
+    # edges directly, saving six subtractions per triangle test.
     v0x: np.ndarray
     v0y: np.ndarray
     v0z: np.ndarray
-    v1x: np.ndarray
-    v1y: np.ndarray
-    v1z: np.ndarray
-    v2x: np.ndarray
-    v2y: np.ndarray
-    v2z: np.ndarray
+    e1x: np.ndarray
+    e1y: np.ndarray
+    e1z: np.ndarray
+    e2x: np.ndarray
+    e2y: np.ndarray
+    e2z: np.ndarray
     bounds: np.ndarray  # (C, 8): min xyz, max xyz, pad, pad
     super_bounds: np.ndarray  # (S, 8) AABBs over groups of SUPER_FACTOR clusters
     tri_index: np.ndarray  # (C*128,) original triangle id per slot; -1 = pad
@@ -129,10 +131,13 @@ def build_clusters(
     def field(vi, ci):
         return np.ascontiguousarray(comp[:, :, vi, ci])
 
+    def edge(vi, ci):
+        return np.ascontiguousarray(comp[:, :, vi, ci] - comp[:, :, 0, ci])
+
     return ClusterGrid(
         v0x=field(0, 0), v0y=field(0, 1), v0z=field(0, 2),
-        v1x=field(1, 0), v1y=field(1, 1), v1z=field(1, 2),
-        v2x=field(2, 0), v2y=field(2, 1), v2z=field(2, 2),
+        e1x=edge(1, 0), e1y=edge(1, 1), e1z=edge(1, 2),
+        e2x=edge(2, 0), e2y=edge(2, 1), e2z=edge(2, 2),
         bounds=bounds,
         super_bounds=super_bounds,
         tri_index=tri_index,

@@ -43,7 +43,7 @@ BLOCK_RAYS = 1024  # 8 sublanes x 128 lanes
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "v0x", "v0y", "v0z", "v1x", "v1y", "v1z", "v2x", "v2y", "v2z",
+        "v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
         "bounds", "super_bounds", "tri_index", "mat",
     ],
     meta_fields=["num_clusters", "num_supers", "interpret"],
@@ -53,12 +53,12 @@ class DeviceClusterGrid:
     v0x: jnp.ndarray  # (C, 128)
     v0y: jnp.ndarray
     v0z: jnp.ndarray
-    v1x: jnp.ndarray
-    v1y: jnp.ndarray
-    v1z: jnp.ndarray
-    v2x: jnp.ndarray
-    v2y: jnp.ndarray
-    v2z: jnp.ndarray
+    e1x: jnp.ndarray  # precomputed v1 - v0
+    e1y: jnp.ndarray
+    e1z: jnp.ndarray
+    e2x: jnp.ndarray  # precomputed v2 - v0
+    e2y: jnp.ndarray
+    e2z: jnp.ndarray
     bounds: jnp.ndarray  # (C, 8) SMEM-bound cluster AABBs
     super_bounds: jnp.ndarray  # (S, 8) SMEM-bound super-cluster AABBs
     tri_index: jnp.ndarray  # (C*128,) slot -> original triangle id
@@ -74,8 +74,8 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         interpret = jax.default_backend() != "tpu"
     return DeviceClusterGrid(
         v0x=jnp.asarray(grid.v0x), v0y=jnp.asarray(grid.v0y), v0z=jnp.asarray(grid.v0z),
-        v1x=jnp.asarray(grid.v1x), v1y=jnp.asarray(grid.v1y), v1z=jnp.asarray(grid.v1z),
-        v2x=jnp.asarray(grid.v2x), v2y=jnp.asarray(grid.v2y), v2z=jnp.asarray(grid.v2z),
+        e1x=jnp.asarray(grid.e1x), e1y=jnp.asarray(grid.e1y), e1z=jnp.asarray(grid.e1z),
+        e2x=jnp.asarray(grid.e2x), e2y=jnp.asarray(grid.e2y), e2z=jnp.asarray(grid.e2z),
         bounds=jnp.asarray(grid.bounds),
         super_bounds=jnp.asarray(grid.super_bounds),
         tri_index=jnp.asarray(grid.tri_index),
@@ -95,8 +95,8 @@ def _trace_kernel(num_clusters: int, num_supers: int, width: int, t_min: float):
         cb_ref,  # SMEM (C, 8)
         sb_ref,  # SMEM (S, 8)
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,  # (8,128)
-        v0x_ref, v0y_ref, v0z_ref, v1x_ref, v1y_ref, v1z_ref,
-        v2x_ref, v2y_ref, v2z_ref, mat_ref,  # (C,128)
+        v0x_ref, v0y_ref, v0z_ref, e1x_ref, e1y_ref, e1z_ref,
+        e2x_ref, e2y_ref, e2z_ref, mat_ref,  # (C,128)
         t_out, slot_out, u_out, v_out, nx_out, ny_out, nz_out, mat_out,
         px_out, py_out, pz_out,  # (8,128)
     ):
@@ -173,12 +173,12 @@ def _trace_kernel(num_clusters: int, num_supers: int, width: int, t_min: float):
                     a_x = v0x_ref[c]
                     a_y = v0y_ref[c]
                     a_z = v0z_ref[c]
-                    b_x = v1x_ref[c]
-                    b_y = v1y_ref[c]
-                    b_z = v1z_ref[c]
-                    c_x = v2x_ref[c]
-                    c_y = v2y_ref[c]
-                    c_z = v2z_ref[c]
+                    g1x = e1x_ref[c]
+                    g1y = e1y_ref[c]
+                    g1z = e1z_ref[c]
+                    g2x = e2x_ref[c]
+                    g2y = e2y_ref[c]
+                    g2z = e2z_ref[c]
                     m_row = mat_ref[c]
                     base_slot = (c * width).astype(jnp.float32)
 
@@ -187,12 +187,12 @@ def _trace_kernel(num_clusters: int, num_supers: int, width: int, t_min: float):
                         ax = a_x[j]
                         ay = a_y[j]
                         az = a_z[j]
-                        e1x = b_x[j] - ax
-                        e1y = b_y[j] - ay
-                        e1z = b_z[j] - az
-                        e2x = c_x[j] - ax
-                        e2y = c_y[j] - ay
-                        e2z = c_z[j] - az
+                        e1x = g1x[j]
+                        e1y = g1y[j]
+                        e1z = g1z[j]
+                        e2x = g2x[j]
+                        e2y = g2y[j]
+                        e2z = g2z[j]
 
                         # Moller-Trumbore, one triangle vs 1024 rays.
                         px = DY * e2z - DZ * e2y
@@ -361,8 +361,8 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
         grid.super_bounds,
         ox, oy, oz, dx, dy, dz, tm,
         grid.v0x, grid.v0y, grid.v0z,
-        grid.v1x, grid.v1y, grid.v1z,
-        grid.v2x, grid.v2y, grid.v2z,
+        grid.e1x, grid.e1y, grid.e1z,
+        grid.e2x, grid.e2y, grid.e2z,
         grid.mat,
     )
 
