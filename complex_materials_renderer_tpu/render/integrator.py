@@ -35,7 +35,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..kernels.traverse import DeviceBVH, trace_closest, trace_shaded
+from ..kernels.traverse import DeviceBVH, trace_shaded
 from ..ops import rng as rng_ops
 from ..ops.camera import Camera, generate_rays
 from ..ops.diffuse import REFLECTANCE, diffuse_eval, diffuse_sample

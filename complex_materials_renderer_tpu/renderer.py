@@ -12,7 +12,6 @@ device pass).
 from __future__ import annotations
 
 import os
-import time
 from typing import Optional
 
 import jax
@@ -21,9 +20,8 @@ import numpy as np
 
 from .accel import build_bvh
 from .config import RenderOptions
-from .kernels.traverse import DeviceBVH, device_bvh
+from .kernels.traverse import device_bvh
 from .ops.camera import Camera, make_camera
-from .ops.medium import MediaTable
 from .render.aov import render_aov
 from .render.hitinfo import make_scene_arrays
 from .render.integrator import Lights, render_beauty
