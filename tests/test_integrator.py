@@ -173,3 +173,44 @@ def test_max_depth_one_kills_gi():
     )
     assert np.all(np.isfinite(shallow)) and np.all(np.isfinite(deep))
     assert deep.mean() >= shallow.mean() - 1e-6
+
+
+def test_boundary_event_directions_and_tir():
+    from complex_materials_renderer_tpu.render.integrator import _boundary_event
+    from complex_materials_renderer_tpu.ops.fresnel import reflect, refract
+
+    n = jnp.array([[0.0, 1.0, 0.0]] * 3)
+    theta = np.deg2rad(30.0)
+    entering = [np.sin(theta), -np.cos(theta), 0.0]  # air -> medium
+    exiting_ok = [np.sin(theta), np.cos(theta), 0.0]  # medium -> air, < critical
+    theta_tir = np.deg2rad(75.0)  # > critical angle for ior 1.5 (~41.8 deg)
+    exiting_tir = [np.sin(theta_tir), np.cos(theta_tir), 0.0]
+    d = jnp.array([entering, exiting_ok, exiting_tir], jnp.float32)
+    ior = jnp.full(3, 1.5, jnp.float32)
+
+    refl, trans_dir, r = _boundary_event(d, n, ior)
+    refl = np.asarray(refl)
+    trans_dir = np.asarray(trans_dir)
+    r = np.asarray(r)
+
+    # Reflection is the mirror direction.
+    expect_refl = np.array(reflect(d, n))
+    expect_refl /= np.linalg.norm(expect_refl, axis=-1, keepdims=True)
+    np.testing.assert_allclose(refl, expect_refl, atol=1e-6)
+
+    # Entering: refraction bends toward the normal (air -> denser).
+    np.testing.assert_allclose(
+        abs(trans_dir[0, 0]), np.sin(theta) / 1.5, atol=1e-5
+    )
+    assert 0.0 <= r[0] <= 1.0 and r[0] < 0.5
+
+    # Exiting below the critical angle: bends away from the normal.
+    np.testing.assert_allclose(
+        abs(trans_dir[1, 0]), np.sin(theta) * 1.5, atol=1e-5
+    )
+
+    # TIR: the "transmitted" direction is the reflection, staying inside
+    # the medium, and R == 0 routes the lane down the refract branch
+    # (volpath:658-667 semantics).
+    np.testing.assert_allclose(trans_dir[2], refl[2], atol=1e-6)
+    assert r[2] == 0.0
