@@ -439,6 +439,9 @@ def render_beauty(
 
         def step(s):
             s = _bounce(s, scene, bvh, lights, max_depth, rr_depth, nee_max_media)
+            # Measured: re-sorting every bounce beats both never sorting
+            # and threshold-gated sorting (the lax.cond materialization
+            # costs more than skipped sorts save).
             return _compact(s, scene) if compact else s
 
         state = jax.lax.while_loop(lambda s: jnp.any(s.alive), step, state)
