@@ -30,7 +30,15 @@ def main(argv=None) -> int:
     # reference.
     renderer = Renderer(scene, scene.options)
 
-    image = renderer.render()
+    if scene.options.profile:
+        # Kernel-level observability beyond the phase timers: a full
+        # jax.profiler trace (view with tensorboard/xprof).
+        import jax
+
+        with jax.profiler.trace(scene.options.profile):
+            image = renderer.render()
+    else:
+        image = renderer.render()
 
     with timer.phase("write"):
         out_path = f"{scene.options.out_name}.hdr"

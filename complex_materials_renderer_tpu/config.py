@@ -44,6 +44,7 @@ class RenderOptions:
     leaf_size: int = 4  # BVH max triangles per leaf
     cluster_size: int = 128  # Pallas tracer cluster width (lane vector)
     checkpoint: str = ""  # optional .npz accumulate-buffer checkpoint path
+    profile: str = ""  # optional dir for a jax.profiler trace of the render
 
     def clamp(self) -> "RenderOptions":
         """Mirror reference clamping: background outside [0,2] -> 0 (utils.cpp:80-84)."""
@@ -67,6 +68,7 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--shard\tauto (tile-shard across devices) or none
 \t--nee-bound\tMax media crossings along shadow rays (default: 4)
 \t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present)
+\t--profile\tDirectory for a jax.profiler trace of the render
 Any bare argument is treated as the .obj scene path."""
 
 
@@ -147,6 +149,10 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
             v, i = take_value(i)
             if v is not None:
                 opt.checkpoint = v
+        elif a == "--profile":
+            v, i = take_value(i)
+            if v is not None:
+                opt.profile = v
         else:
             opt.obj_path = a
         i += 1
