@@ -214,3 +214,44 @@ def test_boundary_event_directions_and_tir():
     # (volpath:658-667 semantics).
     np.testing.assert_allclose(trans_dir[2], refl[2], atol=1e-6)
     assert r[2] == 0.0
+
+
+def test_direct_light_through_two_media():
+    """Shadow ray crossing two separated medium boxes: the march's second
+    iteration must apply the second box's transmittance and 0.9 factor
+    (volpath:350-423 loops per boundary pair)."""
+    box_a = box_triangles([0.0, 0.0, 0.0], 1.0)
+    box_b = box_triangles([0.0, 0.0, 4.0], 1.0)
+    tris = np.concatenate([box_a, box_b])
+    mats = np.concatenate(
+        [np.zeros(len(box_a), np.int32), np.ones(len(box_b), np.int32)]
+    )
+    media = MediaTable(
+        mat_id=np.array([0, 1], np.int32),
+        sigma_s=np.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2]], np.float32),
+        sigma_a=np.array([[0.05, 0.05, 0.05], [0.1, 0.1, 0.1]], np.float32),
+        g=np.zeros((2, 3), np.float32),
+        ior=np.ones(2, np.float32),
+    )
+    scene, bvh = assemble(tris, mats, media, scale=1.0)
+    lights = Lights(
+        position=jnp.array([0.0, 0.0, 10.0]),
+        intensity=jnp.array([100.0, 100.0, 100.0]),
+    )
+    pos = jnp.array([[0.0, 0.0, -5.0]])  # 15 from light; boxes at z[-1,1], z[3,5]
+    val = np.asarray(
+        sample_direct_light(pos, scene, bvh, lights, jnp.array([True]), 4)
+    )[0]
+    # Two pairs: 0.9^2 and Beer-Lambert through 2 units of each medium.
+    expect = (
+        100.0 / 15.0**2
+        * 0.9 * np.exp(-0.15 * 2.0)
+        * 0.9 * np.exp(-0.3 * 2.0)
+    )
+    np.testing.assert_allclose(val, expect, rtol=1e-3)
+    # With the bound at 1 pair, the march stops after the first box and
+    # keeps the partial transmittance (documented divergence).
+    val1 = np.asarray(
+        sample_direct_light(pos, scene, bvh, lights, jnp.array([True]), 1)
+    )[0]
+    assert val1[0] > val[0]

@@ -72,9 +72,8 @@ def test_sample_chi_square_against_pdf():
     bins = np.linspace(-1, 1, 41)
     histogram, _ = np.histogram(cos, bins=bins, density=True)
     centers = 0.5 * (bins[:-1] + bins[1:])
-    pdf = 0.5 * (1 - g * g) / (1 + g * g - 2 * g * (-centers)) ** 1.5
-    # Note sign: reference sampler's cos_theta convention gives mean +g
-    # against the frame normal; pdf over that cosine:
+    # The reference sampler's cos_theta convention gives mean +g against
+    # the frame normal; pdf over that cosine:
     pdf = 0.5 * (1 - g * g) / (1 + g * g - 2 * g * centers) ** 1.5
     rel = np.abs(histogram - pdf) / np.maximum(pdf, 1e-3)
     assert np.quantile(rel, 0.9) < 0.1
