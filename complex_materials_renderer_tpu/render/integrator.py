@@ -444,10 +444,43 @@ def render_beauty(
             # costs more than skipped sorts save).
             return _compact(s, scene) if compact else s
 
-        state = jax.lax.while_loop(lambda s: jnp.any(s.alive), step, state)
-        # Scatter permuted lanes back to their pixels.
-        rad = jnp.zeros((r, 3), jnp.float32).at[state.lane].set(state.rad)
-        rng_out = jnp.zeros((r,), jnp.uint32).at[state.lane].set(state.rng)
+        # Two-phase bounce loop. Every trace pays a fixed per-block cost
+        # (~18us x R/1024 blocks, even when the block is skipped), so the
+        # deep-path tail — a few hundred survivors looping to depth 32 —
+        # was dominated by dispatch overhead at full wavefront width.
+        # Phase A runs at full width until the live set fits in R/8
+        # (compaction keeps live lanes first, so a static slice is exact),
+        # then phase B finishes on the narrow state. Identical math,
+        # 8x cheaper tail.
+        shrink = compact and r >= 8 * 1024
+        if shrink:
+            r2 = max(1024, r // 8)
+            phase_a_iters = 8
+
+            def cond_a(carry):
+                s, it = carry
+                live = jnp.sum(s.alive.astype(jnp.int32))
+                return jnp.any(s.alive) & (
+                    (it < phase_a_iters) | (live > r2)
+                )
+
+            (state, _) = jax.lax.while_loop(
+                cond_a, lambda c: (step(c[0]), c[1] + 1), (state, jnp.int32(0))
+            )
+            rad = jnp.zeros((r, 3), jnp.float32).at[state.lane].set(state.rad)
+            rng_out = jnp.zeros((r,), jnp.uint32).at[state.lane].set(state.rng)
+
+            narrow = _State(*(x[:r2] for x in state))
+            narrow = jax.lax.while_loop(
+                lambda s: jnp.any(s.alive), step, narrow
+            )
+            # Narrow-state lanes carry their phase-A prefix: overwrite.
+            rad = rad.at[narrow.lane].set(narrow.rad)
+            rng_out = rng_out.at[narrow.lane].set(narrow.rng)
+        else:
+            state = jax.lax.while_loop(lambda s: jnp.any(s.alive), step, state)
+            rad = jnp.zeros((r, 3), jnp.float32).at[state.lane].set(state.rad)
+            rng_out = jnp.zeros((r,), jnp.uint32).at[state.lane].set(state.rng)
         return (rng_out, acc + rad), None
 
     seed0 = rng_state if rng_state is not None else rng_ops.seed_from_pixel(linear)
