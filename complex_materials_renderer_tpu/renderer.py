@@ -36,7 +36,7 @@ from .utils.timing import PhaseTimer
 # the reference warns about, kills very long dispatches) and amortizes
 # per-dispatch host/tunnel latency over an in-pass sample scan.
 LANES_PER_PASS = int(os.environ.get("CMR_LANES_PER_PASS", 1 << 16))
-PATHS_PER_PASS = int(os.environ.get("CMR_PATHS_PER_PASS", 1 << 18))
+PATHS_PER_PASS = int(os.environ.get("CMR_PATHS_PER_PASS", 1 << 20))
 
 
 def _auto_sample_chunk(width: int, height: int) -> int:
