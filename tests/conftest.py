@@ -8,6 +8,10 @@ import os
 # Force-override: the runtime environment pre-sets JAX_PLATFORMS=axon (the
 # TPU tunnel) and its sitecustomize imports jax at interpreter start, so the
 # env var alone is too late — use jax.config as well.
+# Stash the runtime's own platform choice so subprocess tests can restore
+# the driver-like environment (test_entry.py runs the multichip dryrun in a
+# fresh interpreter WITHOUT this file's CPU forcing).
+os.environ.setdefault("CMR_ORIG_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -24,5 +24,37 @@ def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_driver_env():
+    """Run the dryrun exactly as the driver does: a fresh interpreter with
+    the runtime's own JAX_PLATFORMS (axon on the real host) and none of
+    conftest's CPU forcing. Round 1's init-order bug (backend initialized
+    before the CPU fallback config, MULTICHIP_r01.json) only reproduced in
+    this environment — conftest masked it in-process."""
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    orig = env.pop("CMR_ORIG_JAX_PLATFORMS", "")
+    if orig:
+        env["JAX_PLATFORMS"] = orig
+    else:
+        env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        .replace("--xla_force_host_platform_device_count=8", "")
+        .strip()
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "dryrun_multichip ok" in res.stdout
+
+
 def test_dryrun_multichip_odd():
     graft.dryrun_multichip(4)
