@@ -1,0 +1,956 @@
+"""Single-kernel wavefront path tracer — the TPU fast path.
+
+Round 1 ran the bounce loop in XLA with ~10 ``pallas_call`` trace
+dispatches per bounce (main + distance + 2x4 NEE march segments), paying
+a fixed ~18us per ray block per dispatch plus compaction-sort glue
+between bounces; that fixed cost dominated the profile (NOTES.md). This
+kernel fuses the ENTIRE per-sample path loop — traversal, medium physics,
+Fresnel boundaries, free-flight sampling, HG scattering, the NEE march,
+diffuse shading, russian roulette, and the PCG32 RNG itself — into one
+``pallas_call`` per sample pass, mirroring the reference's GLSL
+megakernel structure (volpath.comp.glsl:564-805) but vectorized over
+1024-ray blocks instead of one thread per pixel.
+
+Structure:
+- grid=(1,): all ray/RNG arrays live in VMEM; an outer ``fori_loop``
+  walks 1024-lane blocks (one (8, 128) register tile per quantity), so a
+  "block dispatch" costs a loop iteration, not a pipeline step.
+- per block, a ``while_loop`` advances the bounce state machine until
+  every lane dies — a block whose paths all terminate early exits early
+  (the round-1 two-phase-tail trick is unnecessary).
+- traversal is ORDERED and EARLY-TERMINATING: per query, entry distances
+  of all super-clusters are computed (vector slab tests reduced to SMEM
+  scalars), then supers are visited nearest-first via a scalar
+  selection loop that stops as soon as the nearest remaining entry
+  exceeds every live lane's current best hit; the same
+  nearest-first/early-stop loop runs over the <=16 clusters inside each
+  visited super. This replaces the driver's PREFER_FAST_TRACE ordered
+  traversal (reference main.cpp:180-182, volpath:612-627).
+- the NEE march through media boundaries (volpath:337-426) runs as an
+  in-kernel while loop (one traversal per boundary crossing, exits when
+  no lane still has distance to cover) instead of 2x4 chained
+  ``pallas_call``s.
+- PCG32 (LCG * 747796405 + 1, RXS-M-XS output — volpath:231-246) is
+  evaluated in-kernel on uint32 lanes; the uint->float conversion uses
+  an exact hi/lo 16-bit split (Mosaic lacks the direct cast) that is
+  bit-identical to XLA's single-rounding convert, so per-lane streams
+  match ops/rng.py exactly in the integer domain.
+
+Physics semantics (including every documented reference quirk: stale
+second-boundary normal, NEE phase at outDir=0, local-frame diffuse
+direction, 0.9 per-boundary shadow fudge, min-density/max-albedo
+free-flight) are transcribed from render/integrator.py, which remains
+the portable/XLA reference implementation; see that module for the
+volpath line map. RNG draw masks and order are identical, so both
+engines sample the same per-lane decision streams.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.clusters import SUPER_FACTOR
+from .pallas_trace import DeviceClusterGrid
+
+BLOCK = 1024  # lanes per (8, 128) register tile
+_INF = jnp.float32(3e38)
+
+# PCG32 constants (volpath:233-246; ops/rng.py).
+_MULT = jnp.uint32(747796405)
+_INC = jnp.uint32(1)
+_OUT_MULT = jnp.uint32(277803737)
+_INV_U32 = jnp.float32(1.0) / jnp.float32(4294967295.0)
+
+INV_FOURPI = jnp.float32(0.07957747154594767)
+INV_PI = jnp.float32(0.31830988618)
+PI = jnp.float32(3.14159265359)
+TWOPI = jnp.float32(6.28318530718)
+REFLECTANCE = jnp.float32(0.8)
+NO_INTERACTION = jnp.float32(500000.0)
+_ISO_EPS = 1e-4
+
+
+def _u32_to_f32(word):
+    """Exact uint32 -> float32 (value) conversion.
+
+    hi*65536 is exact in f32, lo is exact, and the final add rounds once:
+    bit-identical to XLA's round-to-nearest uint32->f32 convert, which
+    ops/rng.py relies on for reference parity.
+    """
+    hi = pltpu.bitcast(word >> jnp.uint32(16), jnp.int32).astype(jnp.float32)
+    lo = pltpu.bitcast(word & jnp.uint32(0xFFFF), jnp.int32).astype(jnp.float32)
+    return hi * jnp.float32(65536.0) + lo
+
+
+def _rng_next(state, mask):
+    """Masked PCG32 draw: lanes outside ``mask`` keep their stream position
+    (ops/rng.py next_float_masked)."""
+    ns = state * _MULT + _INC
+    shift = (ns >> jnp.uint32(28)) + jnp.uint32(4)
+    word = ((ns >> shift) ^ ns) * _OUT_MULT
+    word = (word >> jnp.uint32(22)) ^ word
+    value = _u32_to_f32(word) * _INV_U32
+    return jnp.where(mask, ns, state), value
+
+
+def _norm3(x, y, z):
+    n = jnp.sqrt(x * x + y * y + z * z)
+    inv = 1.0 / jnp.maximum(n, 1e-20)
+    return x * inv, y * inv, z * inv
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _max3(a, b, c):
+    return jnp.maximum(a, jnp.maximum(b, c))
+
+
+def _min3(a, b, c):
+    return jnp.minimum(a, jnp.minimum(b, c))
+
+
+def _safe_inv(v):
+    tiny = jnp.float32(1e-12)
+    return 1.0 / jnp.where(jnp.abs(v) < tiny, jnp.where(v < 0, -tiny, tiny), v)
+
+
+def _fresnel_r(n1, n2, dx, dy, dz, nx, ny, nz):
+    """Full rs/rp Fresnel (ops/fresnel.py fresnel_r, volpath:321-334).
+    Directions must be normalized. Returns (r, tir)."""
+    cos1 = jnp.clip(jnp.abs(_dot3(dx, dy, dz, nx, ny, nz)), 0.0, 1.0)
+    theta1 = jnp.arccos(cos1)
+    sin_t2 = n1 / n2 * jnp.sin(theta1)
+    tir = sin_t2 >= 1.0
+    theta2 = jnp.arcsin(jnp.clip(sin_t2, -1.0, 1.0))
+    c1 = jnp.cos(theta1)
+    c2 = jnp.cos(theta2)
+    rs = (n1 * c1 - n2 * c2) / (n1 * c1 + n2 * c2)
+    rp = (n1 * c2 - n2 * c1) / (n1 * c2 + n2 * c1)
+    r = (rs * rs + rp * rp) * 0.5
+    return jnp.where(tir, 0.0, r), tir
+
+
+def _boundary_event(dx, dy, dz, nx, ny, nz, ior):
+    """Componentwise transcription of integrator._boundary_event
+    (volpath:635-667/:723-753). Returns reflected dir, transmitted dir
+    (reflection under TIR), reflectance, tir mask."""
+    d_dot_n = _dot3(dx, dy, dz, nx, ny, nz)
+    going_out = d_dot_n > 0.0
+    one = jnp.ones_like(ior)
+    from_ior = jnp.where(going_out, ior, one)
+    to_ior = jnp.where(going_out, one, ior)
+
+    # refract (ops/fresnel.py refract, volpath:550-562)
+    eta = from_ior / to_ior
+    cos_i = -d_dot_n
+    sin2_t = eta * eta * (1.0 - cos_i * cos_i)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    k = eta * cos_i - cos_t
+    fx = eta * dx + k * nx
+    fy = eta * dy + k * ny
+    fz = eta * dz + k * nz
+    # placeholder normal under TIR, then normalize (integrator parity)
+    fx = jnp.where(tir, nx, fx)
+    fy = jnp.where(tir, ny, fy)
+    fz = jnp.where(tir, nz, fz)
+    fx, fy, fz = _norm3(fx, fy, fz)
+
+    # reflect (volpath:545-548)
+    two_d = 2.0 * d_dot_n
+    rx, ry, rz = _norm3(dx - two_d * nx, dy - two_d * ny, dz - two_d * nz)
+
+    r, _ = _fresnel_r(from_ior, to_ior, dx, dy, dz, nx, ny, nz)
+
+    tx = jnp.where(tir, rx, fx)
+    ty = jnp.where(tir, ry, fy)
+    tz = jnp.where(tir, rz, fz)
+    return rx, ry, rz, tx, ty, tz, r, tir
+
+
+def _sample_distance(rand, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, dist):
+    """Free-flight sampling (ops/medium.py sample_distance, volpath:482-543).
+    Returns (success, t, prob_fail, prob_success, tr_r, tr_g, tr_b)."""
+    er = ss_r + sa_r
+    eg = ss_g + sa_g
+    eb = ss_b + sa_b
+    density = _min3(er, eg, eb)
+
+    def albedo(ss, ext):
+        return jnp.where(ext > 0.0, ss / jnp.maximum(ext, 1e-30), -1.0)
+
+    weight = _max3(albedo(ss_r, er), albedo(ss_g, eg), albedo(ss_b, eb))
+    weight = jnp.maximum(weight, -1.0)
+    weight = jnp.where(weight > 0.0, jnp.maximum(weight, 0.5), weight)
+
+    draw = rand < weight
+    r_scaled = jnp.where(draw, rand / jnp.where(draw, weight, 1.0), 0.0)
+    exp_sample = -jnp.log(jnp.maximum(1.0 - r_scaled, 1e-37)) / jnp.maximum(
+        density, 1e-30
+    )
+    sampled = jnp.where(draw & (density > 0.0), exp_sample, NO_INTERACTION)
+
+    success = sampled < dist
+    t = jnp.where(success, sampled, dist)
+
+    pf0 = jnp.exp(-density * t)
+    prob_success = density * pf0 * weight
+    prob_fail = weight * pf0 + (1.0 - weight)
+
+    tr_r = jnp.exp(-er * t)
+    tr_g = jnp.exp(-eg * t)
+    tr_b = jnp.exp(-eb * t)
+    zero = _max3(tr_r, tr_g, tr_b) < 1e-4
+    tr_r = jnp.where(zero, 0.0, tr_r)
+    tr_g = jnp.where(zero, 0.0, tr_g)
+    tr_b = jnp.where(zero, 0.0, tr_b)
+    return success, t, prob_fail, prob_success, tr_r, tr_g, tr_b
+
+
+def _hg_sample(ix, iy, iz, g, r1, r2):
+    """HG direction sampling (ops/phase.py hg_sample, volpath:444-479).
+    ``i`` is the direction toward the collision (-ray dir)."""
+    safe_g = jnp.where(jnp.abs(g) < _ISO_EPS, 1.0, g)
+    tmp = (1.0 - g * g) / (1.0 - g + 2.0 * g * r1)
+    cos_aniso = (1.0 + g * g - tmp * tmp) / (2.0 * safe_g)
+    cos_iso = 1.0 - 2.0 * r1
+    cos_theta = jnp.where(jnp.abs(g) < _ISO_EPS, cos_iso, cos_aniso)
+
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = TWOPI * r2
+    lx = sin_theta * jnp.cos(phi)
+    ly = sin_theta * jnp.sin(phi)
+    lz = cos_theta
+
+    # frame off normal = -inDir (volpath:461-472)
+    nx, ny, nz = -ix, -iy, -iz
+    use_x = jnp.abs(nx) > jnp.abs(ny)
+    inv_a = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + nz * nz, 1e-20))
+    inv_b = 1.0 / jnp.sqrt(jnp.maximum(ny * ny + nz * nz, 1e-20))
+    tax, tay, taz = nz * inv_a, jnp.zeros_like(nx), -nx * inv_a
+    tbx, tby, tbz = jnp.zeros_like(nx), nz * inv_b, -ny * inv_b
+    tx = jnp.where(use_x, tax, tbx)
+    ty = jnp.where(use_x, tay, tby)
+    tz = jnp.where(use_x, taz, tbz)
+    # s = cross(t, normal)
+    sx = ty * nz - tz * ny
+    sy = tz * nx - tx * nz
+    sz = tx * ny - ty * nx
+    ox = sx * lx + tx * ly + nx * lz
+    oy = sy * lx + ty * ly + ny * lz
+    oz = sz * lx + tz * ly + nz * lz
+    return ox, oy, oz
+
+
+def _concentric_disk(r1, r2):
+    """Concentric square-to-disk map (ops/diffuse.py, volpath:272-297)."""
+    u = 2.0 * r1 - 1.0
+    v = 2.0 * r2 - 1.0
+    zero = (u == 0.0) & (v == 0.0)
+    use_u = u * u > v * v
+    r = jnp.where(use_u, u, v)
+    phi = jnp.where(
+        use_u,
+        (PI / 4.0) * (v / jnp.where(use_u, u, 1.0)),
+        (PI / 2.0)
+        - (u / jnp.where(use_u, 1.0, jnp.where(v == 0.0, 1.0, v))) * (PI / 4.0),
+    )
+    r = jnp.where(zero, 0.0, r)
+    phi = jnp.where(zero, 0.0, phi)
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def _make_kernel(
+    C: int,
+    S: int,
+    width: int,
+    M: int,
+    num_blocks: int,
+    background: int,
+    max_depth: int,
+    rr_depth: int,
+    nee_max_media: int,
+    tir_kill: bool,
+    t_min: float,
+    t_max: float,
+):
+    """Build the megakernel body. All sizes static."""
+    t_min = jnp.float32(t_min)
+    t_max_f = jnp.float32(t_max)
+
+    def kernel(
+        cb_ref,  # SMEM (C, 8) cluster AABBs
+        sb_ref,  # SMEM (S, 8) super AABBs
+        media_ref,  # SMEM (max(M,1), 9): matid, ss rgb (scaled), sa rgb (scaled), g_mean, ior
+        misc_ref,  # SMEM (8,): light pos xyz, light intensity rgb, pad
+        v0x_ref, v0y_ref, v0z_ref, e1x_ref, e1y_ref, e1z_ref,
+        e2x_ref, e2y_ref, e2z_ref, mat_ref,  # VMEM (C, width)
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM (B*8, 128)
+        rng_ref,  # VMEM (B*8, 128) uint32
+        rad_r_ref, rad_g_ref, rad_b_ref,  # VMEM out
+        rng_out_ref,  # VMEM out uint32
+        sentry_ref,  # SMEM scratch (S,)
+        centry_ref,  # SMEM scratch (SUPER_FACTOR,)
+    ):
+        lx = misc_ref[0]
+        ly = misc_ref[1]
+        lz = misc_ref[2]
+        lir = misc_ref[3]
+        lig = misc_ref[4]
+        lib = misc_ref[5]
+
+        def slab_entry_min(ref, idx, OX, OY, OZ, IX, IY, IZ, TMAX):
+            """Min-over-lanes ray/AABB entry distance (scalar); _INF when no
+            live lane's segment [t_min, TMAX] intersects the box."""
+            s0 = (ref[idx, 0] - OX) * IX
+            s1 = (ref[idx, 3] - OX) * IX
+            tn = jnp.minimum(s0, s1)
+            tf = jnp.maximum(s0, s1)
+            s0 = (ref[idx, 1] - OY) * IY
+            s1 = (ref[idx, 4] - OY) * IY
+            tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+            tf = jnp.minimum(tf, jnp.maximum(s0, s1))
+            s0 = (ref[idx, 2] - OZ) * IZ
+            s1 = (ref[idx, 5] - OZ) * IZ
+            tn = jnp.maximum(tn, jnp.minimum(s0, s1))
+            tf = jnp.minimum(tf, jnp.maximum(s0, s1))
+            tn = jnp.maximum(tn, t_min)
+            tf = jnp.minimum(tf, TMAX)
+            return jnp.min(jnp.where(tn <= tf, tn, _INF))
+
+        def pick_min(ref, n):
+            """Scalar argmin over an SMEM entry array."""
+            def body(i, c):
+                best, idx = c
+                e = ref[i]
+                take = e < best
+                return jnp.where(take, e, best), jnp.where(take, i, idx)
+
+            return jax.lax.fori_loop(
+                0, n, body, (_INF, jnp.int32(0)), unroll=True
+            )
+
+        def traverse(OX, OY, OZ, DX, DY, DZ, TMAX, payload: str):
+            """Ordered early-terminating closest-hit traversal.
+
+            payload: 'full' -> (t, slot, u, v, nx, ny, nz, mat, px, py, pz)
+                     'nee'  -> (t, slot, mat, px, py, pz)
+                     'dist' -> (t, slot)
+            t == per-lane TMAX on miss; slot/mat == -1. Dead lanes are
+            encoded as TMAX <= t_min and never match.
+            """
+            IX, IY, IZ = _safe_inv(DX), _safe_inv(DY), _safe_inv(DZ)
+            zeros = jnp.zeros_like(OX)
+            neg1 = jnp.full_like(OX, -1.0)
+
+            if payload == "full":
+                state0 = (TMAX, neg1, zeros, zeros, zeros, zeros,
+                          jnp.ones_like(OX), neg1, zeros, zeros, zeros)
+            elif payload == "nee":
+                state0 = (TMAX, neg1, neg1, zeros, zeros, zeros)
+            else:
+                state0 = (TMAX, neg1)
+
+            def test_cluster(c, state):
+                t_best = state[0]
+                a_x = v0x_ref[c]
+                a_y = v0y_ref[c]
+                a_z = v0z_ref[c]
+                g1x = e1x_ref[c]
+                g1y = e1y_ref[c]
+                g1z = e1z_ref[c]
+                g2x = e2x_ref[c]
+                g2y = e2y_ref[c]
+                g2z = e2z_ref[c]
+                m_row = mat_ref[c]
+                base_slot = (c * width).astype(jnp.float32)
+
+                rest = list(state[1:])
+                eps = jnp.float32(1e-6)
+                for j in range(width):
+                    ax = a_x[j]
+                    ay = a_y[j]
+                    az = a_z[j]
+                    e1xj = g1x[j]
+                    e1yj = g1y[j]
+                    e1zj = g1z[j]
+                    e2xj = g2x[j]
+                    e2yj = g2y[j]
+                    e2zj = g2z[j]
+
+                    # Moller-Trumbore: one triangle vs 1024 rays.
+                    px = DY * e2zj - DZ * e2yj
+                    py = DZ * e2xj - DX * e2zj
+                    pz = DX * e2yj - DY * e2xj
+                    det = e1xj * px + e1yj * py + e1zj * pz
+                    inv_det = 1.0 / jnp.where(
+                        jnp.abs(det) > 1e-12, det, jnp.float32(1e30)
+                    )
+                    sx = OX - ax
+                    sy = OY - ay
+                    sz = OZ - az
+                    uu = (sx * px + sy * py + sz * pz) * inv_det
+                    qx = sy * e1zj - sz * e1yj
+                    qy = sz * e1xj - sx * e1zj
+                    qz = sx * e1yj - sy * e1xj
+                    vv = (DX * qx + DY * qy + DZ * qz) * inv_det
+                    tt = (e2xj * qx + e2yj * qy + e2zj * qz) * inv_det
+                    improved = (
+                        (uu >= -eps)
+                        & (vv >= -eps)
+                        & (uu + vv <= 1.0 + eps)
+                        & (tt > t_min)
+                        & (tt < t_best)
+                    )
+                    t_best = jnp.where(improved, tt, t_best)
+                    if payload == "full":
+                        (slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = rest
+                        slot = jnp.where(improved, base_slot + j, slot)
+                        ub = jnp.where(improved, uu, ub)
+                        vb = jnp.where(improved, vv, vb)
+                        nxb = jnp.where(improved, e1yj * e2zj - e1zj * e2yj, nxb)
+                        nyb = jnp.where(improved, e1zj * e2xj - e1xj * e2zj, nyb)
+                        nzb = jnp.where(improved, e1xj * e2yj - e1yj * e2xj, nzb)
+                        mb = jnp.where(improved, m_row[j], mb)
+                        pxb = jnp.where(improved, ax + uu * e1xj + vv * e2xj, pxb)
+                        pyb = jnp.where(improved, ay + uu * e1yj + vv * e2yj, pyb)
+                        pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
+                        rest = [slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb]
+                    elif payload == "nee":
+                        (slot, mb, pxb, pyb, pzb) = rest
+                        slot = jnp.where(improved, base_slot + j, slot)
+                        mb = jnp.where(improved, m_row[j], mb)
+                        pxb = jnp.where(improved, ax + uu * e1xj + vv * e2xj, pxb)
+                        pyb = jnp.where(improved, ay + uu * e1yj + vv * e2yj, pyb)
+                        pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
+                        rest = [slot, mb, pxb, pyb, pzb]
+                    else:
+                        (slot,) = rest
+                        slot = jnp.where(improved, base_slot + j, slot)
+                        rest = [slot]
+
+                return (t_best, *rest)
+
+            def visit_super(sp, state):
+                lo = sp * SUPER_FACTOR
+
+                def c_entry(k, _):
+                    c = lo + k
+                    in_range = c < C
+                    cc = jnp.minimum(c, C - 1)
+                    e = slab_entry_min(cb_ref, cc, OX, OY, OZ, IX, IY, IZ,
+                                       state[0])
+                    centry_ref[k] = jnp.where(in_range, e, _INF)
+                    return 0
+
+                jax.lax.fori_loop(0, SUPER_FACTOR, c_entry, 0, unroll=True)
+
+                def ccond(carry):
+                    st, e, _k = carry
+                    return e < jnp.max(st[0])
+
+                def cbody(carry):
+                    st, _e, k = carry
+                    centry_ref[k] = _INF
+                    st = test_cluster(lo + k, st)
+                    e2, k2 = pick_min(centry_ref, SUPER_FACTOR)
+                    return st, e2, k2
+
+                e0, k0 = pick_min(centry_ref, SUPER_FACTOR)
+                state, _, _ = jax.lax.while_loop(ccond, cbody, (state, e0, k0))
+                return state
+
+            def s_entry(sp, _):
+                sentry_ref[sp] = slab_entry_min(
+                    sb_ref, sp, OX, OY, OZ, IX, IY, IZ, TMAX
+                )
+                return 0
+
+            jax.lax.fori_loop(0, S, s_entry, 0, unroll=S <= 8)
+
+            def scond(carry):
+                st, e, _sp = carry
+                return e < jnp.max(st[0])
+
+            def sbody(carry):
+                st, _e, sp = carry
+                sentry_ref[sp] = _INF
+                st = visit_super(sp, st)
+                e2, sp2 = pick_min(sentry_ref, S)
+                return st, e2, sp2
+
+            e0, sp0 = pick_min(sentry_ref, S)
+            state, _, _ = jax.lax.while_loop(scond, sbody, (state0, e0, sp0))
+            return state
+
+        def media_scan(mat):
+            """First-match linear scan of the media table (volpath:137-145).
+            sigma rows are pre-scaled by the scene scale; g is the channel
+            mean the reference collapses to (volpath:438)."""
+            zeros = jnp.zeros_like(mat)
+            has = jnp.zeros_like(mat, dtype=jnp.bool_)
+            ss_r = zeros
+            ss_g = zeros
+            ss_b = zeros
+            sa_r = zeros
+            sa_g = zeros
+            sa_b = zeros
+            g = zeros
+            ior = jnp.ones_like(mat)
+            for mi in range(M):
+                mid = media_ref[mi, 0]
+                m = (mat == mid) & (mid >= 0.0) & ~has
+                ss_r = jnp.where(m, media_ref[mi, 1], ss_r)
+                ss_g = jnp.where(m, media_ref[mi, 2], ss_g)
+                ss_b = jnp.where(m, media_ref[mi, 3], ss_b)
+                sa_r = jnp.where(m, media_ref[mi, 4], sa_r)
+                sa_g = jnp.where(m, media_ref[mi, 5], sa_g)
+                sa_b = jnp.where(m, media_ref[mi, 6], sa_b)
+                g = jnp.where(m, media_ref[mi, 7], g)
+                ior = jnp.where(m, media_ref[mi, 8], ior)
+                has = has | m
+            return has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, g, ior
+
+        def shade_color(px, py, nx):
+            """Procedural base color (volpath:198-226), componentwise."""
+            base = jnp.full_like(px, 0.8)
+            if background == 1:
+                fx = jnp.floor(px)
+                fy = jnp.floor(py)
+                even = (jnp.mod(fx, 2.0) == 0.0) == (jnp.mod(fy, 2.0) == 0.0)
+                c = jnp.where(even, 0.8, 0.3)
+                return c, c, c
+            if background == 2:
+                is_red = nx > 0.99
+                is_green = nx < -0.99
+                cr = jnp.where(is_red, 0.8, jnp.where(is_green, 0.0, 0.8))
+                cg = jnp.where(is_red, 0.0, jnp.where(is_green, 0.8, 0.8))
+                cb = jnp.where(is_red, 0.0, jnp.where(is_green, 0.0, 0.8))
+                return cr, cg, cb
+            return base, base, base
+
+        def nee_march(px, py, pz, active):
+            """Direct light through media boundaries (volpath:337-426;
+            integrator.sample_direct_light). One traversal per boundary;
+            pairs alternate via the in_med flag. Draws no RNG. Returns the
+            rgb light value (inverse-square falloff x marched
+            transmittance; unresolved marches fail dark)."""
+            tlx = lx - px
+            tly = ly - py
+            tlz = lz - pz
+            ldist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+            inv = 1.0 / jnp.maximum(ldist, 1e-20)
+            ldx = tlx * inv
+            ldy = tly * inv
+            ldz = tlz * inv
+            lv_r = lir * inv * inv
+            lv_g = lig * inv * inv
+            lv_b = lib * inv * inv
+
+            ones = jnp.ones_like(px)
+            carry0 = (
+                ones, ones, ones,  # trans rgb
+                px, py, pz,  # march origin
+                jnp.where(active, ldist, 0.0),  # remaining
+                jnp.zeros_like(active),  # in_med
+                jnp.zeros_like(px), jnp.zeros_like(px), jnp.zeros_like(px),
+                # entry-medium extinction rgb
+                jnp.int32(0),
+            )
+
+            def mcond(c):
+                rem = c[6]
+                it = c[11]
+                return (it < 2 * nee_max_media) & jnp.any(rem > 0.0)
+
+            def mbody(c):
+                (tr_r, tr_g, tr_b, mx, my, mz, rem, in_med,
+                 ex_r, ex_g, ex_b, it) = c
+                run = rem > 0.0
+                # enter legs get the 0.999 light-distance epsilon
+                # (volpath:361); exit legs the T_MIN floor.
+                tmax = jnp.where(in_med, jnp.maximum(rem, t_min), rem * 0.999)
+                tmax = jnp.where(run, tmax, 0.0)
+                t, slot, hmat, hpx, hpy, hpz = traverse(
+                    mx, my, mz, ldx, ldy, ldz, tmax, "nee"
+                )
+                hit = slot >= 0.0
+                has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, _g, _ior = media_scan(
+                    hmat
+                )
+
+                # opaque (medium-less) surface fully occludes (volpath:372)
+                occluded = run & hit & ~has
+                tr_r = jnp.where(occluded, 0.0, tr_r)
+                tr_g = jnp.where(occluded, 0.0, tr_g)
+                tr_b = jnp.where(occluded, 0.0, tr_b)
+
+                enter = run & ~in_med & hit & has
+                pair = run & in_med & hit & has
+                # exit leg: attenuate by the ENTRY medium over the segment
+                seg = jnp.minimum(t, rem)
+                a_r = 0.9 * jnp.exp(-ex_r * seg)
+                a_g = 0.9 * jnp.exp(-ex_g * seg)
+                a_b = 0.9 * jnp.exp(-ex_b * seg)
+                tr_r = jnp.where(pair, tr_r * a_r, tr_r)
+                tr_g = jnp.where(pair, tr_g * a_g, tr_g)
+                tr_b = jnp.where(pair, tr_b * a_b, tr_b)
+
+                cont = enter | pair
+                mx = jnp.where(cont, hpx, mx)
+                my = jnp.where(cont, hpy, my)
+                mz = jnp.where(cont, hpz, mz)
+                rem = jnp.where(cont, rem - t, 0.0)
+                ex_r = jnp.where(enter, ss_r + sa_r, ex_r)
+                ex_g = jnp.where(enter, ss_g + sa_g, ex_g)
+                ex_b = jnp.where(enter, ss_b + sa_b, ex_b)
+                in_med = jnp.where(cont, ~in_med, in_med)
+                return (tr_r, tr_g, tr_b, mx, my, mz, rem, in_med,
+                        ex_r, ex_g, ex_b, it + 1)
+
+            out = jax.lax.while_loop(mcond, mbody, carry0)
+            tr_r, tr_g, tr_b = out[0], out[1], out[2]
+            rem = out[6]
+            # Bound exhaustion fails dark (see integrator note).
+            unresolved = rem > 0.0
+            tr_r = jnp.where(unresolved, 0.0, tr_r)
+            tr_g = jnp.where(unresolved, 0.0, tr_g)
+            tr_b = jnp.where(unresolved, 0.0, tr_b)
+            return lv_r * tr_r, lv_g * tr_g, lv_b * tr_b
+
+        def bounce(st):
+            (ox, oy, oz, dx, dy, dz, th_r, th_g, th_b,
+             ra_r, ra_g, ra_b, rng, depth, alive) = st
+
+            eff = jnp.where(alive, t_max_f, 0.0)
+            (t, slot, u, v, gnx, gny, gnz, mat, px, py, pz) = traverse(
+                ox, oy, oz, dx, dy, dz, eff, "full"
+            )
+            hit = slot >= 0.0
+            got_hit = alive & hit
+            nx, ny, nz = _norm3(gnx, gny, gnz)
+            has0, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, g, ior = media_scan(mat)
+            col_r, col_g, col_b = shade_color(px, py, nx)
+            has_med = got_hit & has0
+
+            # --- boundary event #1 (volpath:633-670) ---
+            (rf1x, rf1y, rf1z, td1x, td1y, td1z, r1, tir1) = _boundary_event(
+                dx, dy, dz, nx, ny, nz, ior
+            )
+            rng, rand_f = _rng_next(rng, has_med)
+            do_reflect = has_med & (rand_f < r1)
+            transmitted = has_med & ~do_reflect
+
+            dax = jnp.where(do_reflect, rf1x, jnp.where(transmitted, td1x, dx))
+            day = jnp.where(do_reflect, rf1y, jnp.where(transmitted, td1y, dy))
+            daz = jnp.where(do_reflect, rf1z, jnp.where(transmitted, td1z, dz))
+            ox = jnp.where(do_reflect, px, ox)
+            oy = jnp.where(do_reflect, py, oy)
+            oz = jnp.where(do_reflect, pz, oz)
+            depth = depth + jnp.where(has_med, 1, 0)
+
+            # --- distance-to-boundary trace (volpath:675-688) ---
+            def dist_trace(_):
+                dt, dslot = traverse(
+                    px, py, pz, dax, day, daz,
+                    jnp.where(transmitted, t_max_f, 0.0), "dist"
+                )
+                return jnp.where(dslot >= 0.0, dt, t_max_f)
+
+            seg_len = jax.lax.cond(
+                jnp.any(transmitted),
+                dist_trace,
+                lambda _: jnp.full_like(px, t_max_f),
+                None,
+            )
+
+            # --- free-flight sampling (volpath:691) ---
+            rng, rand_d = _rng_next(rng, transmitted)
+            (succ, ms_t, prob_fail, prob_success, tr_r, tr_g, tr_b) = (
+                _sample_distance(rand_d, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b,
+                                 seg_len)
+            )
+            scatter = transmitted & succ
+            if tir_kill:
+                scatter = scatter & ~tir1
+            pass_med = transmitted & ~scatter
+
+            diffuse = got_hit & ~has_med
+            backface = diffuse & (_dot3(dx, dy, dz, nx, ny, nz) > 0.0)
+            shade = diffuse & ~backface
+
+            # --- NEE (volpath:697/:773; no RNG draws) ---
+            li_r, li_g, li_b = nee_march(px, py, pz, scatter | shade)
+
+            # --- scatter branch (volpath:693-710) ---
+            safe_ps = jnp.where(prob_success > 0.0, prob_success, 1.0)
+            ps_pos = prob_success > 0.0
+            sc_r = jnp.where(ps_pos, ss_r * tr_r / safe_ps, 0.0)
+            sc_g = jnp.where(ps_pos, ss_g * tr_g / safe_ps, 0.0)
+            sc_b = jnp.where(ps_pos, ss_b * tr_b / safe_ps, 0.0)
+            th_r = jnp.where(scatter, th_r * sc_r, th_r)
+            th_g = jnp.where(scatter, th_g * sc_g, th_g)
+            th_b = jnp.where(scatter, th_b * sc_b, th_b)
+
+            # NEE phase weight at outDir = 0 (volpath:698-699)
+            tmp_g = 1.0 + g * g
+            phase_nee = INV_FOURPI * (1.0 - g * g) / (tmp_g * jnp.sqrt(tmp_g))
+            ra_r = ra_r + jnp.where(scatter, th_r * li_r * phase_nee, 0.0)
+            ra_g = ra_g + jnp.where(scatter, th_g * li_g * phase_nee, 0.0)
+            ra_b = ra_b + jnp.where(scatter, th_b * li_b * phase_nee, 0.0)
+
+            rng, r_ph1 = _rng_next(rng, scatter)
+            rng, r_ph2 = _rng_next(rng, scatter)
+            hgx, hgy, hgz = _hg_sample(-dax, -day, -daz, g, r_ph1, r_ph2)
+            # origin advanced along the *scattered* direction (volpath:708-709)
+            ox = jnp.where(scatter, px + hgx * ms_t, ox)
+            oy = jnp.where(scatter, py + hgy * ms_t, oy)
+            oz = jnp.where(scatter, pz + hgz * ms_t, oz)
+            ndx = jnp.where(scatter, hgx, dax)
+            ndy = jnp.where(scatter, hgy, day)
+            ndz = jnp.where(scatter, hgz, daz)
+
+            # --- pass-through branch (volpath:713-756) ---
+            safe_pf = jnp.where(prob_fail > 0.0, prob_fail, 1.0)
+            pf_pos = prob_fail > 0.0
+            pp_r = jnp.where(pf_pos, tr_r / safe_pf, 0.0)
+            pp_g = jnp.where(pf_pos, tr_g / safe_pf, 0.0)
+            pp_b = jnp.where(pf_pos, tr_b / safe_pf, 0.0)
+            th_r = jnp.where(pass_med, th_r * pp_r, th_r)
+            th_g = jnp.where(pass_med, th_g * pp_g, th_g)
+            th_b = jnp.where(pass_med, th_b * pp_b, th_b)
+
+            pox = px + dax * ms_t
+            poy = py + day * ms_t
+            poz = pz + daz * ms_t
+            # boundary event #2 with the stale entry normal (volpath:723-753)
+            (rf2x, rf2y, rf2z, td2x, td2y, td2z, r2, tir2) = _boundary_event(
+                dax, day, daz, nx, ny, nz, ior
+            )
+            rng, rand_f2 = _rng_next(rng, pass_med)
+            pd_reflect = rand_f2 < r2
+            pdx = jnp.where(pd_reflect, rf2x, td2x)
+            pdy = jnp.where(pd_reflect, rf2y, td2y)
+            pdz = jnp.where(pd_reflect, rf2z, td2z)
+            ox = jnp.where(pass_med, pox, ox)
+            oy = jnp.where(pass_med, poy, oy)
+            oz = jnp.where(pass_med, poz, oz)
+            ndx = jnp.where(pass_med, pdx, ndx)
+            ndy = jnp.where(pass_med, pdy, ndy)
+            ndz = jnp.where(pass_med, pdz, ndz)
+
+            # --- diffuse branch (volpath:758-779) ---
+            rng, r_d1 = _rng_next(rng, shade)
+            rng, r_d2 = _rng_next(rng, shade)
+            ddx, ddy = _concentric_disk(r_d1, r_d2)
+            temp = 1.0 - ddx * ddx - ddy * ddy
+            ddz = jnp.where(
+                temp <= 0.0, jnp.float32(1e-10),
+                jnp.sqrt(jnp.maximum(temp, 0.0)),
+            )
+            th_r = jnp.where(shade, th_r * REFLECTANCE, th_r)
+            th_g = jnp.where(shade, th_g * REFLECTANCE, th_g)
+            th_b = jnp.where(shade, th_b * REFLECTANCE, th_b)
+            # diffuse_eval with the frame-mixing quirk (volpath:255-263):
+            # wi = -direction; visibility dots wi and local wo against the
+            # WORLD normal; the cosine term is local wo.z.
+            visible = (
+                (_dot3(-dx, -dy, -dz, nx, ny, nz) > 0.0)
+                & (_dot3(ddx, ddy, ddz, nx, ny, nz) > 0.0)
+            )
+            deval = jnp.where(visible, REFLECTANCE * INV_PI * ddz, 0.0)
+            ra_r = ra_r + jnp.where(shade, th_r * li_r * deval * col_r, 0.0)
+            ra_g = ra_g + jnp.where(shade, th_g * li_g * deval * col_g, 0.0)
+            ra_b = ra_b + jnp.where(shade, th_b * li_b * deval * col_b, 0.0)
+
+            # local direction used as world (volpath:777)
+            wox, woy, woz = _norm3(ddx, ddy, ddz)
+            ox = jnp.where(shade, px + wox * t_min, ox)
+            oy = jnp.where(shade, py + woy * t_min, oy)
+            oz = jnp.where(shade, pz + woz * t_min, oz)
+            ndx = jnp.where(shade, wox, ndx)
+            ndy = jnp.where(shade, woy, ndy)
+            ndz = jnp.where(shade, woz, ndz)
+
+            redirected = do_reflect | scatter | pass_med | shade
+            dx = jnp.where(redirected, ndx, dx)
+            dy = jnp.where(redirected, ndy, dy)
+            dz = jnp.where(redirected, ndz, dz)
+
+            # --- depth + russian roulette (volpath:786-797) ---
+            enders = scatter | shade
+            depth = depth + jnp.where(enders | pass_med, 1, 0)
+            rr = enders & (depth > rr_depth)
+            rng, rand_rr = _rng_next(rng, rr)
+            q = jnp.minimum(_max3(th_r, th_g, th_b), 0.95)
+            survive = rand_rr <= q
+            boost = 1.0 / jnp.maximum(q, 1e-20)
+            rs = rr & survive
+            th_r = jnp.where(rs, th_r * boost, th_r)
+            th_g = jnp.where(rs, th_g * boost, th_g)
+            th_b = jnp.where(rs, th_b * boost, th_b)
+
+            continuing = do_reflect | pass_med | (enders & (~rr | survive))
+            alive = continuing & (depth < max_depth)
+            if tir_kill:
+                alive = alive & ~((transmitted & tir1) | (pass_med & tir2))
+
+            return (ox, oy, oz, dx, dy, dz, th_r, th_g, th_b,
+                    ra_r, ra_g, ra_b, rng, depth, alive)
+
+        def block_body(b, _):
+            sl = pl.ds(b * 8, 8)
+            ox = ox_ref[sl, :]
+            oy = oy_ref[sl, :]
+            oz = oz_ref[sl, :]
+            dx = dx_ref[sl, :]
+            dy = dy_ref[sl, :]
+            dz = dz_ref[sl, :]
+            rng = rng_ref[sl, :]
+            ones = jnp.ones_like(ox)
+            zeros = jnp.zeros_like(ox)
+            st = (
+                ox, oy, oz, dx, dy, dz,
+                ones, ones, ones,  # throughput
+                zeros, zeros, zeros,  # radiance
+                rng,
+                jnp.zeros(ox.shape, jnp.int32),  # depth
+                jnp.ones(ox.shape, jnp.bool_),  # alive
+            )
+            st = jax.lax.while_loop(lambda s: jnp.any(s[14]), bounce, st)
+            rad_r_ref[sl, :] = st[9]
+            rad_g_ref[sl, :] = st[10]
+            rad_b_ref[sl, :] = st[11]
+            rng_out_ref[sl, :] = st[12]
+            return 0
+
+        jax.lax.fori_loop(0, num_blocks, block_body, 0)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "background", "max_depth", "rr_depth", "nee_max_media", "tir_kill",
+    ),
+)
+def trace_paths_mega(
+    grid: DeviceClusterGrid,
+    media9: jnp.ndarray,  # (max(M,1), 9) pre-scaled media table
+    misc: jnp.ndarray,  # (8,) light pos xyz + intensity rgb + pad
+    o: jnp.ndarray,  # (R, 3) ray origins
+    d: jnp.ndarray,  # (R, 3) ray directions
+    rng: jnp.ndarray,  # (R,) uint32 per-lane PCG32 state (post-jitter)
+    background: int = 1,
+    max_depth: int = 32,
+    rr_depth: int = 16,
+    nee_max_media: int = 4,
+    tir_kill: bool = False,
+):
+    """Trace R full paths in one kernel. Returns (radiance (R, 3), rng (R,)).
+
+    Lanes should arrive spatially sorted (the caller tiles pixels into
+    32x32 blocks) so each 1024-lane block shares traversal work. R is
+    padded to a multiple of 1024 by repeating the first ray (outputs of
+    pad lanes are dropped).
+    """
+    r = o.shape[0]
+    pad = (-r) % BLOCK
+    rp = r + pad
+    blocks = rp // BLOCK
+
+    def pack(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+        return x.reshape(blocks * 8, 128)
+
+    ox, oy, oz = pack(o[:, 0]), pack(o[:, 1]), pack(o[:, 2])
+    dx, dy, dz = pack(d[:, 0]), pack(d[:, 1]), pack(d[:, 2])
+    rng2 = pack(rng)
+
+    C = grid.num_clusters
+    S = grid.num_supers
+    width = grid.v0x.shape[1]
+    M = media9.shape[0]
+
+    kernel = _make_kernel(
+        C, S, width, M, blocks, background, max_depth, rr_depth,
+        nee_max_media, tir_kill, 1e-4, 1e4,
+    )
+
+    smem = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape), memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.float32)
+    u32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.uint32)
+
+    rad_r, rad_g, rad_b, rng_out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            smem((C, 8)),
+            smem((S, 8)),
+            smem((M, 9)),
+            smem((8,)),
+        ] + [vmem()] * 17,
+        out_specs=[vmem()] * 4,
+        out_shape=[f32, f32, f32, u32],
+        scratch_shapes=[
+            pltpu.SMEM((S,), jnp.float32),
+            pltpu.SMEM((SUPER_FACTOR,), jnp.float32),
+        ],
+        interpret=grid.interpret,
+    )(
+        grid.bounds, grid.super_bounds, media9, misc,
+        grid.v0x, grid.v0y, grid.v0z,
+        grid.e1x, grid.e1y, grid.e1z,
+        grid.e2x, grid.e2y, grid.e2z,
+        grid.mat,
+        ox, oy, oz, dx, dy, dz, rng2,
+    )
+
+    rad = jnp.stack(
+        [rad_r.reshape(rp)[:r], rad_g.reshape(rp)[:r], rad_b.reshape(rp)[:r]],
+        axis=-1,
+    )
+    return rad, rng_out.reshape(rp)[:r]
+
+
+def pack_media(media, scale) -> jnp.ndarray:
+    """Build the kernel's (max(M,1), 9) media rows from a MediaTable:
+    [mat_id, sigma_s*scale rgb, sigma_a*scale rgb, mean(g), ior].
+    sigma scaling and g collapse follow volpath:141 and :438."""
+    mat_id = jnp.asarray(media.mat_id, jnp.float32)
+    m = mat_id.shape[0]
+    if m == 0:
+        return jnp.full((1, 9), -1.0, jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+    rows = jnp.concatenate(
+        [
+            mat_id[:, None],
+            jnp.asarray(media.sigma_s, jnp.float32) * scale,
+            jnp.asarray(media.sigma_a, jnp.float32) * scale,
+            jnp.mean(jnp.asarray(media.g, jnp.float32), axis=-1, keepdims=True),
+            jnp.asarray(media.ior, jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )
+    return rows
+
+
+def pack_misc(lights) -> jnp.ndarray:
+    """Light position + intensity as the kernel's (8,) SMEM row."""
+    return jnp.concatenate(
+        [
+            jnp.asarray(lights.position, jnp.float32),
+            jnp.asarray(lights.intensity, jnp.float32),
+            jnp.zeros(2, jnp.float32),
+        ]
+    )

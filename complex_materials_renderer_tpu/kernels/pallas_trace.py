@@ -72,6 +72,15 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
     """Upload a host ClusterGrid. ``interpret`` defaults to True off-TPU."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Slot ids and material ids ride through the kernel as float32; above
+    # 2^24 slots (~16.7M triangles) slot identity would silently lose
+    # integer precision and corrupt prim/material lookups.
+    num_slots = int(grid.bounds.shape[0]) * int(grid.v0x.shape[1])
+    if num_slots >= 1 << 24:
+        raise ValueError(
+            f"cluster grid has {num_slots} triangle slots; the kernel's "
+            "float32 slot ids are exact only below 2^24 (16.7M triangles)"
+        )
     return DeviceClusterGrid(
         v0x=jnp.asarray(grid.v0x), v0y=jnp.asarray(grid.v0y), v0z=jnp.asarray(grid.v0z),
         e1x=jnp.asarray(grid.e1x), e1y=jnp.asarray(grid.e1y), e1z=jnp.asarray(grid.e1z),

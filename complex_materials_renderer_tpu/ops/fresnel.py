@@ -6,9 +6,18 @@ Re-derivation of reference volpath.comp.glsl:312-335 (getFresnelR),
 Divergence notes (deliberate, documented for the parity gate):
 - Under total internal reflection the reference computes
   ``asin(x>1) -> NaN`` so ``rand < NaN`` is always false and control falls
-  into the refract branch, whose zero refract vector then selects the
-  reflected direction (volpath:645-667). We return reflectance 0 for TIR,
-  which routes every lane down the identical path without NaNs.
+  into the refract branch — where the refract vector has ALREADY been
+  normalized (``normalize(refractRay(...))``, volpath:642/:730), turning
+  the vec3(0) TIR sentinel into NaN. The ``== vec3(0)`` check at
+  volpath:658/:743 therefore never fires and the reference propagates a
+  NaN direction: the next traversal misses everything and the path
+  terminates, keeping only the radiance accumulated so far. In other
+  words the reference effectively KILLS TIR paths. We return reflectance
+  0 for TIR so the refract branch resolves to a physical reflection and
+  the path continues — TIR-heavy scenes (gems, ior 1.5-1.77) render
+  measurably brighter than the reference. ``render_beauty(tir='kill')``
+  reproduces the reference's terminate-on-TIR behavior (without the
+  NaNs) for parity comparisons.
 - acos/asin arguments are clamped to valid domains (GLSL leaves out-of-range
   values undefined; on-TPU NaNs would poison masked lanes).
 """

@@ -60,8 +60,16 @@ def _norm(v):
 def _boundary_event(direction, normal, medium_ior):
     """Fresnel boundary quantities shared by both boundary events
     (volpath:635-667 and :723-753): IOR pair by travel side, reflected and
-    refracted directions, reflectance (0 under TIR -> refract branch
-    resolves to the reflected direction, staying inside the medium)."""
+    refracted directions, reflectance (0 under TIR so ``rand < r`` is
+    false, like the reference's ``rand < NaN``, and control always takes
+    the refract branch).
+
+    TIR divergence (see ops/fresnel.py module docstring): the reference
+    normalizes the zero TIR sentinel into a NaN direction and the path
+    dies on the next (miss) traversal. Default behavior here continues
+    with the physical reflection (``transmitted_dir = refl`` under TIR);
+    the returned ``tir`` mask lets the ``tir='kill'`` parity mode
+    terminate those lanes like the reference instead."""
     going_out = jnp.sum(direction * normal, axis=-1) > 0.0
     air = jnp.ones_like(medium_ior)
     from_ior = jnp.where(going_out, medium_ior, air)
@@ -71,7 +79,7 @@ def _boundary_event(direction, normal, medium_ior):
     refl = _norm(reflect(direction, normal))
     r = fresnel_r(from_ior, to_ior, direction, normal)
     transmitted_dir = jnp.where(tir[:, None], refl, refr)
-    return refl, transmitted_dir, r
+    return refl, transmitted_dir, r, tir
 
 
 def sample_direct_light(
@@ -150,7 +158,13 @@ def sample_direct_light(
             lambda c: c,
             carry,
         )
-    trans = carry[0]
+    trans, _, remaining = carry
+    # A lane still mid-march after max_media pairs is unresolved: the
+    # reference's unbounded loop (volpath:350) would keep attenuating and
+    # could still find an opaque occluder, so truncation must fail dark,
+    # not bright (shipped scenes need <= 3 pairs; this only fires when the
+    # bound is genuinely exceeded).
+    trans = jnp.where((remaining > 0.0)[:, None], 0.0, trans)
 
     return light_value * trans
 
@@ -217,6 +231,7 @@ def _bounce(
     max_depth: int,
     rr_depth: int,
     nee_max_media: int,
+    tir: str = "reflect",
 ) -> _State:
     org, direction, thr, rad, rngs, depth, alive, lane_id = state
 
@@ -233,7 +248,7 @@ def _bounce(
     has_med = got_hit & med.has_medium
 
     # --- boundary event #1 (volpath:633-670) ---
-    refl1, trans_dir1, r1 = _boundary_event(direction, normal, med.ior)
+    refl1, trans_dir1, r1, tir1 = _boundary_event(direction, normal, med.ior)
     rngs, rand_fresnel = rng_ops.next_float_masked(rngs, has_med)
     do_reflect = has_med & (rand_fresnel < r1)
     transmitted = has_med & ~do_reflect
@@ -265,8 +280,15 @@ def _bounce(
     # --- free-flight sampling (volpath:691) ---
     rngs, rand_dist = rng_ops.next_float_masked(rngs, transmitted)
     ms = sample_distance(rand_dist, med.sigma_s, med.sigma_a, seg_len)
+    # tir='kill' parity mode: the reference's TIR lanes carry a NaN
+    # direction here, whose NaN comparisons force the no-scatter branch;
+    # they still consume the sampleDistance and boundary-#2 draws before
+    # dying on the next (miss) traversal (volpath:691,:737).
+    kill_tir = tir == "kill"
     scatter = transmitted & ms.success
-    pass_med = transmitted & ~ms.success
+    if kill_tir:
+        scatter = scatter & ~tir1
+    pass_med = transmitted & ~scatter
 
     # --- diffuse gate (volpath:758-764) ---
     diffuse = got_hit & ~has_med
@@ -306,7 +328,7 @@ def _bounce(
 
     pass_org = position + dir_after * ms.t[:, None]
     # Boundary event #2 with the stale entry normal (volpath:723-753).
-    refl2, trans_dir2, r2 = _boundary_event(dir_after, normal, med.ior)
+    refl2, trans_dir2, r2, tir2 = _boundary_event(dir_after, normal, med.ior)
     rngs, rand_fresnel2 = rng_ops.next_float_masked(rngs, pass_med)
     pass_dir = jnp.where((rand_fresnel2 < r2)[:, None], refl2, trans_dir2)
     org = jnp.where(pass_med[:, None], pass_org, org)
@@ -346,6 +368,13 @@ def _bounce(
 
     continuing = do_reflect | pass_med | (enders & (~rr | survive))
     alive = continuing & (depth < max_depth)
+    if kill_tir:
+        # Reference parity: a NaN-direction lane dies on its next (miss)
+        # traversal with its accumulated radiance kept. TIR at event #1
+        # kills the lane after its forced pass-through draws; TIR at
+        # event #2 (always the refract branch, rand < NaN being false)
+        # kills it too (volpath:658-667,:743-753).
+        alive = alive & ~((transmitted & tir1) | (pass_med & tir2))
 
     return _State(org, direction, thr, rad, rngs, depth, alive, lane_id)
 
@@ -362,6 +391,7 @@ def _bounce(
         "full_resolution",
         "return_rng",
         "compact",
+        "tir",
     ),
 )
 def render_beauty(
@@ -382,6 +412,7 @@ def render_beauty(
     rng_state=None,
     return_rng=False,
     compact: bool = True,
+    tir: str = "reflect",
 ):
     """Render an (H, W, 3) tile of the beauty pass.
 
@@ -438,7 +469,9 @@ def render_beauty(
         )
 
         def step(s):
-            s = _bounce(s, scene, bvh, lights, max_depth, rr_depth, nee_max_media)
+            s = _bounce(
+                s, scene, bvh, lights, max_depth, rr_depth, nee_max_media, tir
+            )
             # Measured: re-sorting every bounce beats both never sorting
             # and threshold-gated sorting (the lax.cond materialization
             # costs more than skipped sorts save).

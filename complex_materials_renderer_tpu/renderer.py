@@ -44,7 +44,7 @@ def _auto_sample_chunk(width: int, height: int) -> int:
     return max(1, PATHS_PER_PASS // lanes)
 
 
-def _auto_row_chunk(width: int, sample_chunk: int) -> int:
+def _auto_row_chunk(width: int) -> int:
     return max(1, LANES_PER_PASS // width)
 
 
@@ -57,6 +57,15 @@ class Renderer:
             # The Pallas cluster kernel is the TPU hot path; the threaded
             # BVH is the portable/XLA path (CPU tests, odd platforms).
             backend = "cluster" if jax.default_backend() == "tpu" else "bvh"
+        elif backend == "bvh" and jax.default_backend() == "tpu":
+            import warnings
+
+            warnings.warn(
+                "--backend bvh on TPU is ~300x slower than the Pallas "
+                "cluster kernel (XLA per-lane gathers); use --backend "
+                "cluster or auto",
+                stacklevel=2,
+            )
         with self.timer.phase("accel_build"):
             if backend == "cluster":
                 from .accel.clusters import build_clusters
@@ -171,13 +180,22 @@ class Renderer:
         # one monolithic pass.
         chunk = opt.sample_chunk or _auto_sample_chunk(opt.width, opt.height)
         chunk = max(1, min(chunk, opt.num_samples))
-        rows = _auto_row_chunk(opt.width, chunk)
+        rows = _auto_row_chunk(opt.width)
 
         acc = np.zeros((opt.height, opt.width, 3), np.float32)
         rng_rows: dict = {}
         done_rows: dict = {}
+        fingerprint = self._render_fingerprint()
         if checkpoint_path and os.path.exists(checkpoint_path):
             state = np.load(checkpoint_path, allow_pickle=True)
+            ck_fp = str(state["fingerprint"]) if "fingerprint" in state else ""
+            if ck_fp != fingerprint:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written by a "
+                    "different render (scene/options fingerprint mismatch: "
+                    f"{ck_fp!r} vs {fingerprint!r}); delete it or render "
+                    "with the original settings"
+                )
             if (
                 tuple(state["shape"]) == acc.shape
                 and int(state["rows"]) == rows
@@ -225,14 +243,33 @@ class Renderer:
                         rng_rows[row0] = np.asarray(rng_state)
                         done_rows[row0] = done
                         self._save_checkpoint(
-                            checkpoint_path, acc, rows, chunk, done_rows, rng_rows
+                            checkpoint_path, acc, rows, chunk, done_rows,
+                            rng_rows, fingerprint,
                         )
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)
         return acc
 
+    def _render_fingerprint(self) -> str:
+        """Identity of the accumulation this checkpoint belongs to: acc is
+        stored pre-scaled by n/num_samples, so resuming after changing -s
+        (or swapping a same-resolution scene) would silently blend
+        incompatible accumulations."""
+        opt = self.options
+        fields = (
+            opt.obj_path, opt.width, opt.height, opt.num_samples,
+            opt.max_depth, opt.rr_depth, opt.nee_max_media, opt.rng,
+            opt.background, float(opt.scale), tuple(opt.camera_pos),
+            tuple(opt.camera_look_at), float(opt.camera_fov),
+            tuple(opt.light_pos), tuple(opt.light_color),
+            float(opt.light_intensity),
+        )
+        import hashlib
+
+        return hashlib.sha256(repr(fields).encode()).hexdigest()[:16]
+
     @staticmethod
-    def _save_checkpoint(path, acc, rows, chunk, done_rows, rng_rows):
+    def _save_checkpoint(path, acc, rows, chunk, done_rows, rng_rows, fingerprint):
         row_ids = sorted(done_rows)
         tmp = path + ".tmp"
         rng_obj = np.empty(len(row_ids), dtype=object)
@@ -247,6 +284,7 @@ class Renderer:
             row_ids=np.asarray(row_ids, np.int64),
             done=np.asarray([done_rows[r] for r in row_ids], np.int64),
             rng=rng_obj,
+            fingerprint=fingerprint,
         )
         # np.savez appends .npz when the name lacks it.
         actual = tmp if tmp.endswith(".npz") else tmp + ".npz"

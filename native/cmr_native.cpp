@@ -53,6 +53,13 @@ static const char* next_line(const char* p, const char* end) {
     return p < end ? p + 1 : end;
 }
 
+// Trim trailing spaces/tabs/CR so material names match the Python parser
+// and tinyobjloader ("usemtl glass \n" must resolve to "glass").
+static const char* rtrim(const char* begin, const char* e) {
+    while (e > begin && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r')) e--;
+    return e;
+}
+
 static void parse_mtl_names(const std::string& dir, const char* name_begin,
                             const char* name_end,
                             std::vector<std::string>& names,
@@ -68,7 +75,7 @@ static void parse_mtl_names(const std::string& dir, const char* name_begin,
             const char* q = skip_ws(p + 6, end);
             const char* e = q;
             while (e < end && *e != '\n' && *e != '\r') e++;
-            std::string nm(q, e);
+            std::string nm(q, rtrim(q, e));
             if (!ids.count(nm)) {
                 ids[nm] = (int)names.size();
                 names.push_back(nm);
@@ -144,14 +151,14 @@ int cmr_parse_obj(const char* path, float** out_verts, int* out_nverts,
             const char* q = skip_ws(p + 6, end);
             const char* e = q;
             while (e < end && *e != '\n' && *e != '\r') e++;
-            std::string nm(q, e);
+            std::string nm(q, rtrim(q, e));
             auto it = name_ids.find(nm);
             current_mat = it == name_ids.end() ? -1 : it->second;
         } else if (end - p > 6 && strncmp(p, "mtllib", 6) == 0) {
             const char* q = skip_ws(p + 6, end);
             const char* e = q;
             while (e < end && *e != '\n' && *e != '\r') e++;
-            parse_mtl_names(dir, q, e, names, name_ids);
+            parse_mtl_names(dir, q, rtrim(q, e), names, name_ids);
         }
         p = next_line(p, end);
     }

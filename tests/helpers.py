@@ -72,11 +72,11 @@ def assemble(tris, mat_ids, media, background=1, scale=1.0, leaf_size=4):
     return scene, bvh
 
 
-def test_camera():
+def fixture_camera():
     return make_camera((0.0, 1.5, 5.0), (0.0, 1.0, 0.0), 36.0)
 
 
-def test_lights():
+def fixture_lights():
     return Lights(
         position=jnp.array([2.0, 4.0, 3.0], jnp.float32),
         intensity=jnp.array([0.8, 0.8, 0.6], jnp.float32) * 100.0,

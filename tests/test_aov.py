@@ -61,9 +61,9 @@ def test_normal_aov_sky():
 def test_topology_barycentrics_sum():
     tris, mats, media = make_test_scene()
     scene, bvh = assemble(tris, mats, media)
-    from helpers import test_camera
+    from helpers import fixture_camera
 
-    img = np.asarray(render_aov(tris, test_camera(), bvh, (32, 24), "topology"))
+    img = np.asarray(render_aov(tris, fixture_camera(), bvh, (32, 24), "topology"))
     sky = np.all(np.abs(img - np.array([0.0, 0.0, 0.5])) < 1e-6, axis=-1)
     sums = img.sum(axis=-1)
     assert np.all(np.abs(sums[~sky] - 1.0) < 1e-4)

@@ -11,7 +11,7 @@ from complex_materials_renderer_tpu.render.integrator import (
     render_beauty,
     sample_direct_light,
 )
-from helpers import assemble, box_triangles, make_test_scene, quad, test_camera, test_lights
+from helpers import assemble, box_triangles, make_test_scene, quad, fixture_camera, fixture_lights
 
 
 def _no_media():
@@ -27,8 +27,8 @@ def _no_media():
 def test_beauty_finite_and_deterministic():
     tris, mats, media = make_test_scene()
     scene, bvh = assemble(tris, mats, media)
-    img1 = np.asarray(render_beauty(test_camera(), scene, bvh, test_lights(), (32, 24), 4))
-    img2 = np.asarray(render_beauty(test_camera(), scene, bvh, test_lights(), (32, 24), 4))
+    img1 = np.asarray(render_beauty(fixture_camera(), scene, bvh, fixture_lights(), (32, 24), 4))
+    img2 = np.asarray(render_beauty(fixture_camera(), scene, bvh, fixture_lights(), (32, 24), 4))
     assert np.all(np.isfinite(img1))
     np.testing.assert_array_equal(img1, img2)  # bit-reproducible (volpath:575)
     assert img1.max() > 0.0  # something is lit
@@ -38,11 +38,11 @@ def test_counter_mode_close_to_parity_in_expectation():
     tris, mats, media = make_test_scene()
     scene, bvh = assemble(tris, mats, media)
     a = np.asarray(
-        render_beauty(test_camera(), scene, bvh, test_lights(), (16, 16), 64)
+        render_beauty(fixture_camera(), scene, bvh, fixture_lights(), (16, 16), 64)
     )
     b = np.asarray(
         render_beauty(
-            test_camera(), scene, bvh, test_lights(), (16, 16), 64, rng_mode="counter"
+            fixture_camera(), scene, bvh, fixture_lights(), (16, 16), 64, rng_mode="counter"
         )
     )
     # Same estimator, different streams: means agree statistically.
@@ -156,8 +156,8 @@ def test_dense_medium_darkens_background():
         ior=np.array([1.0], np.float32),
     )
     scene_c, _ = assemble(tris, mats, clear, scale=1.0)
-    img_d = np.asarray(render_beauty(test_camera(), scene_d, bvh, test_lights(), (24, 24), 16))
-    img_c = np.asarray(render_beauty(test_camera(), scene_c, bvh, test_lights(), (24, 24), 16))
+    img_d = np.asarray(render_beauty(fixture_camera(), scene_d, bvh, fixture_lights(), (24, 24), 16))
+    img_c = np.asarray(render_beauty(fixture_camera(), scene_c, bvh, fixture_lights(), (24, 24), 16))
     # Center rows pass through the box.
     assert img_d[10:14, 10:14].mean() < 0.5 * img_c[10:14, 10:14].mean()
 
@@ -166,10 +166,10 @@ def test_max_depth_one_kills_gi():
     tris, mats, media = make_test_scene(with_medium=False)
     scene, bvh = assemble(tris, mats, media)
     shallow = np.asarray(
-        render_beauty(test_camera(), scene, bvh, test_lights(), (16, 16), 8, max_depth=2)
+        render_beauty(fixture_camera(), scene, bvh, fixture_lights(), (16, 16), 8, max_depth=2)
     )
     deep = np.asarray(
-        render_beauty(test_camera(), scene, bvh, test_lights(), (16, 16), 8, max_depth=32)
+        render_beauty(fixture_camera(), scene, bvh, fixture_lights(), (16, 16), 8, max_depth=32)
     )
     assert np.all(np.isfinite(shallow)) and np.all(np.isfinite(deep))
     assert deep.mean() >= shallow.mean() - 1e-6
@@ -188,10 +188,11 @@ def test_boundary_event_directions_and_tir():
     d = jnp.array([entering, exiting_ok, exiting_tir], jnp.float32)
     ior = jnp.full(3, 1.5, jnp.float32)
 
-    refl, trans_dir, r = _boundary_event(d, n, ior)
+    refl, trans_dir, r, tir = _boundary_event(d, n, ior)
     refl = np.asarray(refl)
     trans_dir = np.asarray(trans_dir)
     r = np.asarray(r)
+    np.testing.assert_array_equal(np.asarray(tir), [False, False, True])
 
     # Reflection is the mirror direction.
     expect_refl = np.array(reflect(d, n))
@@ -249,9 +250,32 @@ def test_direct_light_through_two_media():
         * 0.9 * np.exp(-0.3 * 2.0)
     )
     np.testing.assert_allclose(val, expect, rtol=1e-3)
-    # With the bound at 1 pair, the march stops after the first box and
-    # keeps the partial transmittance (documented divergence).
+    # With the bound at 1 pair the march is still unresolved (the second
+    # box was never reached): truncation fails DARK — the reference's
+    # unbounded loop could still find more attenuation or an occluder, so
+    # keeping partial transmittance would overestimate direct light.
     val1 = np.asarray(
         sample_direct_light(pos, scene, bvh, lights, jnp.array([True]), 1)
     )[0]
-    assert val1[0] > val[0]
+    np.testing.assert_array_equal(val1, 0.0)
+
+
+def test_tir_kill_mode_darker_than_reflect():
+    """tir='kill' reproduces the reference's terminate-on-TIR behavior
+    (volpath:642 normalize(vec3(0)) -> NaN direction -> path dies on the
+    next miss), so a high-ior gem-like medium renders darker than the
+    default continue-with-reflection mode."""
+    tris, mats, media = make_test_scene()
+    media = media._replace(ior=np.full_like(np.asarray(media.ior), 1.77))
+    scene, bvh = assemble(tris, mats, media)
+    img_reflect = np.asarray(
+        render_beauty(fixture_camera(), scene, bvh, fixture_lights(), (24, 24), 8)
+    )
+    img_kill = np.asarray(
+        render_beauty(
+            fixture_camera(), scene, bvh, fixture_lights(), (24, 24), 8, tir="kill"
+        )
+    )
+    assert np.all(np.isfinite(img_kill))
+    assert img_kill.mean() < img_reflect.mean()  # TIR paths terminated
+    assert img_kill.mean() > 0.0  # but not black: non-TIR light survives

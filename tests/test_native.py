@@ -115,3 +115,19 @@ def test_native_hdr_matches_python_encoder(tmp_path):
     a = read_hdr(p_native)
     b = rgbe_to_float(float_to_rgbe(img))
     np.testing.assert_array_equal(a, b)
+
+
+def test_parse_obj_trailing_whitespace_material_names(tmp_path):
+    """usemtl/newmtl names with trailing spaces/tabs must resolve the same
+    on the native fast path as in the Python fallback (tinyobjloader also
+    trims): an untrimmed name silently mapped the face to mat id -1."""
+    (tmp_path / "w.mtl").write_text("newmtl glass  \nKd 1 0 0\n")
+    (tmp_path / "w.obj").write_text(
+        "mtllib w.mtl \nv 0 0 0\nv 1 0 0\nv 1 1 0\nusemtl glass \t\nf 1 2 3\n"
+    )
+    path = str(tmp_path / "w.obj")
+    a = _parse_obj_python(path)
+    b_verts, b_idx, b_mats, b_names = native.parse_obj(path)
+    np.testing.assert_array_equal(a.material_ids, b_mats)
+    assert list(a.material_ids) == [0]
+    assert a.material_names == b_names

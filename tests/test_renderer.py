@@ -98,3 +98,34 @@ def test_checkpoint_resume(showcase_scene, tmp_path, monkeypatch):
     resumed = Renderer(showcase_scene, opt).render(checkpoint_path=ckpt)
     np.testing.assert_allclose(resumed, full, rtol=1e-6, atol=1e-7)
     assert not os.path.exists(ckpt)  # removed on completion
+
+
+def test_checkpoint_rejects_mismatched_options(showcase_scene, tmp_path, monkeypatch):
+    """A checkpoint written with different render settings (here -s) must
+    refuse to resume: acc is stored pre-scaled by n/num_samples, so
+    blending accumulations across settings silently corrupts the image."""
+    opt = dataclasses.replace(showcase_scene.options, backend="bvh", num_samples=4)
+    monkeypatch.setattr(renderer_mod, "LANES_PER_PASS", 24 * 10)
+    monkeypatch.setattr(renderer_mod, "PATHS_PER_PASS", 24 * 10)
+    ckpt = str(tmp_path / "render.ckpt.npz")
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    real = renderer_mod.render_beauty
+
+    def exploding(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise Boom()
+        return real(*a, **kw)
+
+    monkeypatch.setattr(renderer_mod, "render_beauty", exploding)
+    with pytest.raises(Boom):
+        Renderer(showcase_scene, opt).render(checkpoint_path=ckpt)
+    monkeypatch.setattr(renderer_mod, "render_beauty", real)
+
+    opt2 = dataclasses.replace(opt, num_samples=8)
+    with pytest.raises(ValueError, match="fingerprint"):
+        Renderer(showcase_scene, opt2).render(checkpoint_path=ckpt)

@@ -10,14 +10,14 @@ from complex_materials_renderer_tpu.parallel.sharding import (
     render_beauty_sharded,
 )
 from complex_materials_renderer_tpu.render.integrator import render_beauty
-from helpers import assemble, make_test_scene, test_camera, test_lights
+from helpers import assemble, make_test_scene, fixture_camera, fixture_lights
 
 
 @pytest.fixture(scope="module")
 def setup():
     tris, mats, media = make_test_scene()
     scene, bvh = assemble(tris, mats, media)
-    return scene, bvh, test_camera(), test_lights()
+    return scene, bvh, fixture_camera(), fixture_lights()
 
 
 def test_eight_devices_available():
