@@ -1,18 +1,26 @@
-"""Benchmark: Mpaths/sec/chip on the showcase scene.
+"""Benchmark: Mpaths/sec/chip on the showcase scene + acceptance regimes.
 
-Renders the showcase scene and reports millions of camera paths (pixel
-samples) traced per second on one chip, against the BASELINE.json
-north-star target of 50 Mpaths/s/chip. Prints ONE JSON line.
+Prints ONE JSON line. The primary metric (showcase 512x512@16) keeps the
+round-1 protocol; the BASELINE.json acceptance regimes ride along in the
+"configs" field so dense-media / TIR / isotropic performance is tracked
+per round:
+
+- showcase: mixed media studio corner (primary, vs the 50 Mpaths/s bar)
+- isobox:   homogeneous isotropic medium (BASELINE config 2)
+- gembox:   anisotropic HG multi-media, TIR-heavy gems (config 3)
+- vessel:   dense high-extinction coffee, deep bounces (config 4)
+- cup:      the reference's own dense-media scene, when its assets are
+            present (optional; absent on a bare checkout)
 
 A "path" is one camera sample: jittered primary ray plus its full bounce
-history (up to max_depth segments, each with closest-hit + distance +
-NEE traversals), matching the reference's per-thread workload
-(volpath.comp.glsl:580-798).
+history (volpath.comp.glsl:580-798 per-thread workload).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -20,48 +28,65 @@ import numpy as np
 TARGET_MPATHS = 50.0  # BASELINE.json north-star, v5e
 
 
-def main() -> None:
-    import jax
-
+def _bench_scene(obj_path, width, height, samples, warm_samples=None):
+    from complex_materials_renderer_tpu.renderer import (
+        Renderer,
+        _auto_sample_chunk,
+    )
     from complex_materials_renderer_tpu.config import RenderOptions
-    from complex_materials_renderer_tpu.renderer import Renderer
     from complex_materials_renderer_tpu.scene import load_scene
 
     opt = RenderOptions()
-    opt.obj_path = "scenes/showcase.obj"
-    opt.width, opt.height = 512, 512
-    opt.num_samples = 16
+    opt.obj_path = obj_path
+    opt.width, opt.height = width, height
+    opt.num_samples = samples
     opt.rng = "counter"  # sample-parallel-safe mode is the perf path
     opt.shard = "none"  # single-chip number
-
-    import dataclasses
 
     scene = load_scene(opt.obj_path, opt)
     renderer = Renderer(scene, scene.options)
 
     # Warmup/compile both pass signatures (fresh-seed and carried-RNG)
     # with the same auto pass shape the timed render uses.
-    from complex_materials_renderer_tpu.renderer import _auto_sample_chunk
-
-    auto_chunk = min(_auto_sample_chunk(opt.width, opt.height), opt.num_samples)
-    warm_opt = dataclasses.replace(scene.options, num_samples=2 * auto_chunk)
+    auto_chunk = min(_auto_sample_chunk(width, height), samples)
+    warm = warm_samples if warm_samples is not None else 2 * auto_chunk
+    warm_opt = dataclasses.replace(scene.options, num_samples=warm)
     Renderer(scene, warm_opt).render()
 
     t0 = time.perf_counter()
     img = renderer.render()
     elapsed = time.perf_counter() - t0
-
-    paths = opt.width * opt.height * opt.num_samples
-    mpaths = paths / elapsed / 1e6
     assert np.all(np.isfinite(np.asarray(img)))
+
+    paths = width * height * samples
+    return paths / elapsed / 1e6
+
+
+def main() -> None:
+    primary = _bench_scene("scenes/showcase.obj", 512, 512, 16)
+
+    configs = {}
+    for name, path, res, spp in [
+        ("isobox", "scenes/isobox.obj", 256, 8),
+        ("gembox", "scenes/gembox.obj", 256, 8),
+        ("vessel", "scenes/vessel.obj", 256, 8),
+        ("cup", "/root/reference/resources/scenes/cup.obj", 256, 4),
+    ]:
+        if not os.path.exists(path):
+            continue
+        try:
+            configs[name] = round(_bench_scene(path, res, res, spp), 3)
+        except Exception as e:  # a failing side config must not kill the bench
+            configs[name] = f"error: {type(e).__name__}"
 
     print(
         json.dumps(
             {
                 "metric": "Mpaths/sec/chip (showcase 512x512)",
-                "value": round(mpaths, 3),
+                "value": round(primary, 3),
                 "unit": "Mpaths/s",
-                "vs_baseline": round(mpaths / TARGET_MPATHS, 4),
+                "vs_baseline": round(primary / TARGET_MPATHS, 4),
+                "configs": configs,
             }
         )
     )

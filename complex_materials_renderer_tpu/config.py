@@ -38,6 +38,8 @@ class RenderOptions:
     # --- TPU-rebuild extensions ---
     aov: str = "beauty"  # beauty | depth | normal | topology
     backend: str = "auto"  # auto | cluster (pallas) | bvh (threaded, XLA)
+    engine: str = "auto"  # auto | mega (fused kernel) | wavefront (XLA loop)
+    tir: str = "reflect"  # reflect | kill (reference-faithful TIR termination)
     rng: str = "parity"  # parity (sequential per pixel, ref volpath:575) | counter
     sample_chunk: int = 0  # samples per device pass; 0 = auto
     shard: str = "auto"  # auto | none — tile-shard over available devices
@@ -65,6 +67,8 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--max-depth\tMaximum path depth (default: 32)
 \t--rng\tparity (reference-matching PCG stream) or counter (sample-parallel)
 \t--backend\tauto (default) | cluster (Pallas TPU kernel) | bvh (XLA)
+\t--engine\tauto (default) | mega (fused path kernel) | wavefront (XLA loop)
+\t--tir\treflect (default) | kill (reference-faithful TIR termination)
 \t--shard\tauto (tile-shard across devices) or none
 \t--nee-bound\tMax media crossings along shadow rays (default: 4)
 \t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present)
@@ -137,6 +141,14 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
             v, i = take_value(i)
             if v is not None:
                 opt.backend = v
+        elif a == "--engine":
+            v, i = take_value(i)
+            if v is not None:
+                opt.engine = v
+        elif a == "--tir":
+            v, i = take_value(i)
+            if v is not None:
+                opt.tir = v
         elif a == "--sample-chunk":
             v, i = take_value(i)
             if v is not None:

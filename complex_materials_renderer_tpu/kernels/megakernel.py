@@ -59,20 +59,21 @@ from ..accel.clusters import SUPER_FACTOR
 from .pallas_trace import DeviceClusterGrid
 
 BLOCK = 1024  # lanes per (8, 128) register tile
-_INF = jnp.float32(3e38)
+_INF = np.float32(3e38)
 
-# PCG32 constants (volpath:233-246; ops/rng.py).
-_MULT = jnp.uint32(747796405)
-_INC = jnp.uint32(1)
-_OUT_MULT = jnp.uint32(277803737)
-_INV_U32 = jnp.float32(1.0) / jnp.float32(4294967295.0)
+# PCG32 constants (volpath:233-246; ops/rng.py). numpy scalars, not jnp:
+# jnp scalars are traced arrays and would be captured as kernel constants.
+_MULT = np.uint32(747796405)
+_INC = np.uint32(1)
+_OUT_MULT = np.uint32(277803737)
+_INV_U32 = np.float32(np.float32(1.0) / np.float32(4294967295.0))
 
-INV_FOURPI = jnp.float32(0.07957747154594767)
-INV_PI = jnp.float32(0.31830988618)
-PI = jnp.float32(3.14159265359)
-TWOPI = jnp.float32(6.28318530718)
-REFLECTANCE = jnp.float32(0.8)
-NO_INTERACTION = jnp.float32(500000.0)
+INV_FOURPI = np.float32(0.07957747154594767)
+INV_PI = np.float32(0.31830988618)
+PI = np.float32(3.14159265359)
+TWOPI = np.float32(6.28318530718)
+REFLECTANCE = np.float32(0.8)
+NO_INTERACTION = np.float32(500000.0)
 _ISO_EPS = 1e-4
 
 
@@ -124,14 +125,18 @@ def _safe_inv(v):
 
 def _fresnel_r(n1, n2, dx, dy, dz, nx, ny, nz):
     """Full rs/rp Fresnel (ops/fresnel.py fresnel_r, volpath:321-334).
-    Directions must be normalized. Returns (r, tir)."""
+
+    Trig-free: Mosaic lacks acos/asin lowerings, so sin(theta1) =
+    sqrt(1 - cos1^2) and cos(theta2) = sqrt(1 - sin_t2^2) — algebraically
+    identical to the reference's acos/asin round trip. Directions must be
+    normalized. Returns (r, tir)."""
     cos1 = jnp.clip(jnp.abs(_dot3(dx, dy, dz, nx, ny, nz)), 0.0, 1.0)
-    theta1 = jnp.arccos(cos1)
-    sin_t2 = n1 / n2 * jnp.sin(theta1)
+    sin1 = jnp.sqrt(jnp.maximum(1.0 - cos1 * cos1, 0.0))
+    sin_t2 = n1 / n2 * sin1
     tir = sin_t2 >= 1.0
-    theta2 = jnp.arcsin(jnp.clip(sin_t2, -1.0, 1.0))
-    c1 = jnp.cos(theta1)
-    c2 = jnp.cos(theta2)
+    s2 = jnp.clip(sin_t2, -1.0, 1.0)
+    c2 = jnp.sqrt(jnp.maximum(1.0 - s2 * s2, 0.0))
+    c1 = cos1
     rs = (n1 * c1 - n2 * c2) / (n1 * c1 + n2 * c2)
     rp = (n1 * c2 - n2 * c1) / (n1 * c2 + n2 * c1)
     r = (rs * rs + rp * rp) * 0.5
@@ -281,10 +286,11 @@ def _make_kernel(
     tir_kill: bool,
     t_min: float,
     t_max: float,
+    debug: str = "",
 ):
     """Build the megakernel body. All sizes static."""
-    t_min = jnp.float32(t_min)
-    t_max_f = jnp.float32(t_max)
+    t_min = np.float32(t_min)
+    t_max_f = np.float32(t_max)
 
     def kernel(
         cb_ref,  # SMEM (C, 8) cluster AABBs
@@ -297,9 +303,24 @@ def _make_kernel(
         rng_ref,  # VMEM (B*8, 128) uint32
         rad_r_ref, rad_g_ref, rad_b_ref,  # VMEM out
         rng_out_ref,  # VMEM out uint32
-        sentry_ref,  # SMEM scratch (S,)
-        centry_ref,  # SMEM scratch (SUPER_FACTOR,)
     ):
+        # Entry tables for the ordered traversal live in vector registers
+        # ((8,128) holds up to 1024 supers), updated by iota-mask selects:
+        # dynamic-index SMEM *writes* crash the Mosaic compiler, and the
+        # vector form costs ~1 op per update anyway.
+        flat_iota = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        )
+
+        def pick_min(entries):
+            """(value, index) of the smallest entry; ties -> lowest index."""
+            e = jnp.min(entries)
+            idx = jnp.min(
+                jnp.where(entries == e, flat_iota, jnp.int32(1 << 30))
+            )
+            return e, idx
+
         lx = misc_ref[0]
         ly = misc_ref[1]
         lz = misc_ref[2]
@@ -325,18 +346,6 @@ def _make_kernel(
             tn = jnp.maximum(tn, t_min)
             tf = jnp.minimum(tf, TMAX)
             return jnp.min(jnp.where(tn <= tf, tn, _INF))
-
-        def pick_min(ref, n):
-            """Scalar argmin over an SMEM entry array."""
-            def body(i, c):
-                best, idx = c
-                e = ref[i]
-                take = e < best
-                return jnp.where(take, e, best), jnp.where(take, i, idx)
-
-            return jax.lax.fori_loop(
-                0, n, body, (_INF, jnp.int32(0)), unroll=True
-            )
 
         def traverse(OX, OY, OZ, DX, DY, DZ, TMAX, payload: str):
             """Ordered early-terminating closest-hit traversal.
@@ -442,53 +451,52 @@ def _make_kernel(
             def visit_super(sp, state):
                 lo = sp * SUPER_FACTOR
 
-                def c_entry(k, _):
+                def c_entry(k, entries):
                     c = lo + k
-                    in_range = c < C
                     cc = jnp.minimum(c, C - 1)
                     e = slab_entry_min(cb_ref, cc, OX, OY, OZ, IX, IY, IZ,
                                        state[0])
-                    centry_ref[k] = jnp.where(in_range, e, _INF)
-                    return 0
+                    e = jnp.where(c < C, e, _INF)
+                    return jnp.where(flat_iota == k, e, entries)
 
-                jax.lax.fori_loop(0, SUPER_FACTOR, c_entry, 0, unroll=True)
+                centries = jax.lax.fori_loop(
+                    0, SUPER_FACTOR, c_entry, jnp.full((8, 128), _INF)
+                )
 
                 def ccond(carry):
-                    st, e, _k = carry
-                    return e < jnp.max(st[0])
+                    st, entries = carry
+                    return jnp.min(entries) < jnp.max(st[0])
 
                 def cbody(carry):
-                    st, _e, k = carry
-                    centry_ref[k] = _INF
+                    st, entries = carry
+                    _e, k = pick_min(entries)
+                    entries = jnp.where(flat_iota == k, _INF, entries)
                     st = test_cluster(lo + k, st)
-                    e2, k2 = pick_min(centry_ref, SUPER_FACTOR)
-                    return st, e2, k2
+                    return st, entries
 
-                e0, k0 = pick_min(centry_ref, SUPER_FACTOR)
-                state, _, _ = jax.lax.while_loop(ccond, cbody, (state, e0, k0))
+                state, _ = jax.lax.while_loop(ccond, cbody, (state, centries))
                 return state
 
-            def s_entry(sp, _):
-                sentry_ref[sp] = slab_entry_min(
-                    sb_ref, sp, OX, OY, OZ, IX, IY, IZ, TMAX
-                )
-                return 0
+            def s_entry(sp, entries):
+                e = slab_entry_min(sb_ref, sp, OX, OY, OZ, IX, IY, IZ, TMAX)
+                return jnp.where(flat_iota == sp, e, entries)
 
-            jax.lax.fori_loop(0, S, s_entry, 0, unroll=S <= 8)
+            sentries = jax.lax.fori_loop(
+                0, S, s_entry, jnp.full((8, 128), _INF)
+            )
 
             def scond(carry):
-                st, e, _sp = carry
-                return e < jnp.max(st[0])
+                st, entries = carry
+                return jnp.min(entries) < jnp.max(st[0])
 
             def sbody(carry):
-                st, _e, sp = carry
-                sentry_ref[sp] = _INF
+                st, entries = carry
+                _e, sp = pick_min(entries)
+                entries = jnp.where(flat_iota == sp, _INF, entries)
                 st = visit_super(sp, st)
-                e2, sp2 = pick_min(sentry_ref, S)
-                return st, e2, sp2
+                return st, entries
 
-            e0, sp0 = pick_min(sentry_ref, S)
-            state, _, _ = jax.lax.while_loop(scond, sbody, (state0, e0, sp0))
+            state, _ = jax.lax.while_loop(scond, sbody, (state0, sentries))
             return state
 
         def media_scan(mat):
@@ -560,7 +568,9 @@ def _make_kernel(
                 ones, ones, ones,  # trans rgb
                 px, py, pz,  # march origin
                 jnp.where(active, ldist, 0.0),  # remaining
-                jnp.zeros_like(active),  # in_med
+                # in_med rides as an int32 mask: i1 vectors are not legal
+                # while-loop carries in Mosaic.
+                jnp.zeros(px.shape, jnp.int32),
                 jnp.zeros_like(px), jnp.zeros_like(px), jnp.zeros_like(px),
                 # entry-medium extinction rgb
                 jnp.int32(0),
@@ -572,8 +582,9 @@ def _make_kernel(
                 return (it < 2 * nee_max_media) & jnp.any(rem > 0.0)
 
             def mbody(c):
-                (tr_r, tr_g, tr_b, mx, my, mz, rem, in_med,
+                (tr_r, tr_g, tr_b, mx, my, mz, rem, in_med_i,
                  ex_r, ex_g, ex_b, it) = c
+                in_med = in_med_i > 0
                 run = rem > 0.0
                 # enter legs get the 0.999 light-distance epsilon
                 # (volpath:361); exit legs the T_MIN floor.
@@ -612,8 +623,9 @@ def _make_kernel(
                 ex_r = jnp.where(enter, ss_r + sa_r, ex_r)
                 ex_g = jnp.where(enter, ss_g + sa_g, ex_g)
                 ex_b = jnp.where(enter, ss_b + sa_b, ex_b)
-                in_med = jnp.where(cont, ~in_med, in_med)
-                return (tr_r, tr_g, tr_b, mx, my, mz, rem, in_med,
+                # toggle enter<->exit on continuing lanes
+                in_med_i = in_med_i ^ cont.astype(jnp.int32)
+                return (tr_r, tr_g, tr_b, mx, my, mz, rem, in_med_i,
                         ex_r, ex_g, ex_b, it + 1)
 
             out = jax.lax.while_loop(mcond, mbody, carry0)
@@ -628,7 +640,8 @@ def _make_kernel(
 
         def bounce(st):
             (ox, oy, oz, dx, dy, dz, th_r, th_g, th_b,
-             ra_r, ra_g, ra_b, rng, depth, alive) = st
+             ra_r, ra_g, ra_b, rng, depth, alive_i) = st
+            alive = alive_i > 0
 
             eff = jnp.where(alive, t_max_f, 0.0)
             (t, slot, u, v, gnx, gny, gnz, mat, px, py, pz) = traverse(
@@ -665,12 +678,15 @@ def _make_kernel(
                 )
                 return jnp.where(dslot >= 0.0, dt, t_max_f)
 
-            seg_len = jax.lax.cond(
-                jnp.any(transmitted),
-                dist_trace,
-                lambda _: jnp.full_like(px, t_max_f),
-                None,
-            )
+            if "nodist" in debug:
+                seg_len = jnp.full_like(px, t_max_f)
+            else:
+                seg_len = jax.lax.cond(
+                    jnp.any(transmitted),
+                    dist_trace,
+                    lambda _: jnp.full_like(px, t_max_f),
+                    None,
+                )
 
             # --- free-flight sampling (volpath:691) ---
             rng, rand_d = _rng_next(rng, transmitted)
@@ -688,7 +704,10 @@ def _make_kernel(
             shade = diffuse & ~backface
 
             # --- NEE (volpath:697/:773; no RNG draws) ---
-            li_r, li_g, li_b = nee_march(px, py, pz, scatter | shade)
+            if "nonee" in debug:
+                li_r = li_g = li_b = jnp.ones_like(px)
+            else:
+                li_r, li_g, li_b = nee_march(px, py, pz, scatter | shade)
 
             # --- scatter branch (volpath:693-710) ---
             safe_ps = jnp.where(prob_success > 0.0, prob_success, 1.0)
@@ -804,7 +823,7 @@ def _make_kernel(
                 alive = alive & ~((transmitted & tir1) | (pass_med & tir2))
 
             return (ox, oy, oz, dx, dy, dz, th_r, th_g, th_b,
-                    ra_r, ra_g, ra_b, rng, depth, alive)
+                    ra_r, ra_g, ra_b, rng, depth, alive.astype(jnp.int32))
 
         def block_body(b, _):
             sl = pl.ds(b * 8, 8)
@@ -823,9 +842,9 @@ def _make_kernel(
                 zeros, zeros, zeros,  # radiance
                 rng,
                 jnp.zeros(ox.shape, jnp.int32),  # depth
-                jnp.ones(ox.shape, jnp.bool_),  # alive
+                jnp.ones(ox.shape, jnp.int32),  # alive (int32 mask)
             )
-            st = jax.lax.while_loop(lambda s: jnp.any(s[14]), bounce, st)
+            st = jax.lax.while_loop(lambda s: jnp.any(s[14] > 0), bounce, st)
             rad_r_ref[sl, :] = st[9]
             rad_g_ref[sl, :] = st[10]
             rad_b_ref[sl, :] = st[11]
@@ -881,10 +900,18 @@ def trace_paths_mega(
     S = grid.num_supers
     width = grid.v0x.shape[1]
     M = media9.shape[0]
+    if S > BLOCK:
+        raise ValueError(
+            f"{S} super-clusters exceed the (8,128) entry table; "
+            "scene too large for the megakernel (max ~2M triangles)"
+        )
+
+    import os as _os
 
     kernel = _make_kernel(
         C, S, width, M, blocks, background, max_depth, rr_depth,
         nee_max_media, tir_kill, 1e-4, 1e4,
+        debug=_os.environ.get("CMR_MEGA_DEBUG", ""),
     )
 
     smem = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape), memory_space=pltpu.SMEM)
@@ -902,10 +929,6 @@ def trace_paths_mega(
         ] + [vmem()] * 17,
         out_specs=[vmem()] * 4,
         out_shape=[f32, f32, f32, u32],
-        scratch_shapes=[
-            pltpu.SMEM((S,), jnp.float32),
-            pltpu.SMEM((SUPER_FACTOR,), jnp.float32),
-        ],
         interpret=grid.interpret,
     )(
         grid.bounds, grid.super_bounds, media9, misc,

@@ -12,6 +12,7 @@ device pass).
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Optional
 
 import jax
@@ -178,6 +179,28 @@ class Renderer:
         # renderer's whole state). Parity RNG chunks carry the per-pixel
         # PCG stream across sample chunks so the result is identical to
         # one monolithic pass.
+        # Engine choice: the fused megakernel runs the whole bounce loop in
+        # one Pallas kernel per pass (kernels/megakernel.py) and needs the
+        # cluster-grid accel; the wavefront XLA loop remains the portable
+        # engine (and the only one for the threaded-BVH backend).
+        from .kernels.pallas_trace import DeviceClusterGrid
+
+        engine = opt.engine
+        if engine == "auto":
+            # The megakernel is pixel-identical to the wavefront engine but
+            # not yet faster on the default deep-path config (no cross-block
+            # compaction; see NOTES.md round-2 log) — auto stays on the
+            # wavefront until the mega path wins its A/B.
+            engine = "wavefront"
+        if engine == "mega" and not isinstance(self.bvh, DeviceClusterGrid):
+            raise ValueError("--engine mega requires --backend cluster")
+        if engine == "mega":
+            from .render.megarender import render_beauty_mega
+
+            beauty_fn = partial(render_beauty_mega, tir=opt.tir)
+        else:
+            beauty_fn = partial(render_beauty, tir=opt.tir)
+
         chunk = opt.sample_chunk or _auto_sample_chunk(opt.width, opt.height)
         chunk = max(1, min(chunk, opt.num_samples))
         rows = _auto_row_chunk(opt.width)
@@ -218,7 +241,7 @@ class Renderer:
                 done = done_rows.get(row0, 0)
                 while done < opt.num_samples:
                     n = min(chunk, opt.num_samples - done)
-                    img, rng_state = render_beauty(
+                    img, rng_state = beauty_fn(
                         self.camera,
                         self.scene_arrays,
                         self.bvh,

@@ -1,0 +1,48 @@
+"""Fused-megakernel engine tests (kernels/megakernel.py).
+
+The megakernel must be a drop-in replacement for the wavefront engine:
+same physics, same per-lane RNG streams (ops/rng.py PCG32), same image.
+On TPU the two engines measured pixel-identical; the CPU CI runs the
+Pallas interpreter on a tiny frame and allows float-noise tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from complex_materials_renderer_tpu.accel.clusters import build_clusters
+from complex_materials_renderer_tpu.kernels.pallas_trace import device_cluster_grid
+from complex_materials_renderer_tpu.render.hitinfo import make_scene_arrays
+from complex_materials_renderer_tpu.render.integrator import render_beauty
+from complex_materials_renderer_tpu.render.megarender import _tile_perm, render_beauty_mega
+
+from helpers import make_test_scene, fixture_camera, fixture_lights
+
+
+def test_tile_perm_roundtrip():
+    for w, h in [(32, 32), (64, 48), (17, 9), (100, 33)]:
+        perm, inv = _tile_perm(w, h)
+        assert sorted(perm.tolist()) == list(range(w * h))
+        np.testing.assert_array_equal(perm[inv], np.arange(w * h))
+
+
+@pytest.mark.slow
+def test_mega_matches_wavefront_tiny():
+    """Interpreter-mode megakernel vs the XLA wavefront engine on an 8x8
+    frame: identical RNG streams and physics -> near-identical image
+    (measured max diff ~4e-8 interpreted; exactly 0 on TPU hardware)."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    img_m = np.asarray(
+        render_beauty_mega(
+            fixture_camera(), scene, grid, fixture_lights(), (8, 8), 1, **kw
+        )
+    )
+    img_w = np.asarray(
+        render_beauty(
+            fixture_camera(), scene, grid, fixture_lights(), (8, 8), 1, **kw
+        )
+    )
+    assert np.all(np.isfinite(img_m))
+    np.testing.assert_allclose(img_m, img_w, atol=1e-5)
