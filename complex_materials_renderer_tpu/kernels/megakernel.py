@@ -48,6 +48,7 @@ engines sample the same per-lane decision streams.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -286,9 +287,18 @@ def _make_kernel(
     tir_kill: bool,
     t_min: float,
     t_max: float,
+    max_iters: int,
     debug: str = "",
 ):
-    """Build the megakernel body. All sizes static."""
+    """Build the megakernel body. All sizes static.
+
+    ``max_iters`` caps the per-block bounce loop: each block advances its
+    lanes at most that many bounce iterations (or until all die). The
+    full path state streams in and out, so the caller can compact the
+    wavefront between capped kernel invocations (render/megarender.py's
+    phase schedule) — in-kernel cross-block compaction would need
+    dynamic lane scatters Mosaic doesn't have.
+    """
     t_min = np.float32(t_min)
     t_max_f = np.float32(t_max)
 
@@ -300,9 +310,17 @@ def _make_kernel(
         v0x_ref, v0y_ref, v0z_ref, e1x_ref, e1y_ref, e1z_ref,
         e2x_ref, e2y_ref, e2z_ref, mat_ref,  # VMEM (C, width)
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM (B*8, 128)
+        th_r_ref, th_g_ref, th_b_ref,  # VMEM throughput
+        ra_r_ref, ra_g_ref, ra_b_ref,  # VMEM radiance
         rng_ref,  # VMEM (B*8, 128) uint32
+        depth_ref,  # VMEM int32
+        alive_ref,  # VMEM int32 (0/1)
+        ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,  # VMEM out: ray state
+        th_r_o, th_g_o, th_b_o,  # VMEM out
         rad_r_ref, rad_g_ref, rad_b_ref,  # VMEM out
         rng_out_ref,  # VMEM out uint32
+        depth_o,  # VMEM out int32
+        alive_o,  # VMEM out int32
     ):
         # Entry tables for the ordered traversal live in vector registers
         # ((8,128) holds up to 1024 supers), updated by iota-mask selects:
@@ -351,10 +369,12 @@ def _make_kernel(
             """Ordered early-terminating closest-hit traversal.
 
             payload: 'full' -> (t, slot, u, v, nx, ny, nz, mat, px, py, pz)
-                     'nee'  -> (t, slot, mat, px, py, pz)
+                     'nee'  -> (t, slot, mat)
                      'dist' -> (t, slot)
             t == per-lane TMAX on miss; slot/mat == -1. Dead lanes are
-            encoded as TMAX <= t_min and never match.
+            encoded as TMAX <= t_min and never match. The NEE march
+            reconstructs hit positions as origin + t*dir (exact along a
+            straight shadow line), so its payload carries no position.
             """
             IX, IY, IZ = _safe_inv(DX), _safe_inv(DY), _safe_inv(DZ)
             zeros = jnp.zeros_like(OX)
@@ -364,7 +384,7 @@ def _make_kernel(
                 state0 = (TMAX, neg1, zeros, zeros, zeros, zeros,
                           jnp.ones_like(OX), neg1, zeros, zeros, zeros)
             elif payload == "nee":
-                state0 = (TMAX, neg1, neg1, zeros, zeros, zeros)
+                state0 = (TMAX, neg1, neg1)
             else:
                 state0 = (TMAX, neg1)
 
@@ -434,13 +454,10 @@ def _make_kernel(
                         pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
                         rest = [slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb]
                     elif payload == "nee":
-                        (slot, mb, pxb, pyb, pzb) = rest
+                        (slot, mb) = rest
                         slot = jnp.where(improved, base_slot + j, slot)
                         mb = jnp.where(improved, m_row[j], mb)
-                        pxb = jnp.where(improved, ax + uu * e1xj + vv * e2xj, pxb)
-                        pyb = jnp.where(improved, ay + uu * e1yj + vv * e2yj, pyb)
-                        pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
-                        rest = [slot, mb, pxb, pyb, pzb]
+                        rest = [slot, mb]
                     else:
                         (slot,) = rest
                         slot = jnp.where(improved, base_slot + j, slot)
@@ -476,6 +493,31 @@ def _make_kernel(
 
                 state, _ = jax.lax.while_loop(ccond, cbody, (state, centries))
                 return state
+
+            if "lin" in debug:
+                # Ablation: linear Morton-order traversal with scalar AABB
+                # culling (round-1 pallas_trace structure) instead of the
+                # ordered nearest-first walk.
+                def cluster_lin(c, st):
+                    e = slab_entry_min(cb_ref, c, OX, OY, OZ, IX, IY, IZ,
+                                       st[0])
+                    return jax.lax.cond(
+                        e < _INF, lambda s: test_cluster(c, s), lambda s: s, st
+                    )
+
+                def super_lin(sp, st):
+                    lo = sp * SUPER_FACTOR
+                    hi = jnp.minimum(lo + SUPER_FACTOR, C)
+                    e = slab_entry_min(sb_ref, sp, OX, OY, OZ, IX, IY, IZ,
+                                       st[0])
+                    return jax.lax.cond(
+                        e < _INF,
+                        lambda s: jax.lax.fori_loop(lo, hi, cluster_lin, s),
+                        lambda s: s,
+                        st,
+                    )
+
+                return jax.lax.fori_loop(0, S, super_lin, state0)
 
             def s_entry(sp, entries):
                 e = slab_entry_min(sb_ref, sp, OX, OY, OZ, IX, IY, IZ, TMAX)
@@ -590,9 +632,13 @@ def _make_kernel(
                 # (volpath:361); exit legs the T_MIN floor.
                 tmax = jnp.where(in_med, jnp.maximum(rem, t_min), rem * 0.999)
                 tmax = jnp.where(run, tmax, 0.0)
-                t, slot, hmat, hpx, hpy, hpz = traverse(
+                t, slot, hmat = traverse(
                     mx, my, mz, ldx, ldy, ldz, tmax, "nee"
                 )
+                # March origins advance along the straight shadow line.
+                hpx = mx + t * ldx
+                hpy = my + t * ldy
+                hpz = mz + t * ldz
                 hit = slot >= 0.0
                 has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, _g, _ior = media_scan(
                     hmat
@@ -827,28 +873,40 @@ def _make_kernel(
 
         def block_body(b, _):
             sl = pl.ds(b * 8, 8)
-            ox = ox_ref[sl, :]
-            oy = oy_ref[sl, :]
-            oz = oz_ref[sl, :]
-            dx = dx_ref[sl, :]
-            dy = dy_ref[sl, :]
-            dz = dz_ref[sl, :]
-            rng = rng_ref[sl, :]
-            ones = jnp.ones_like(ox)
-            zeros = jnp.zeros_like(ox)
             st = (
-                ox, oy, oz, dx, dy, dz,
-                ones, ones, ones,  # throughput
-                zeros, zeros, zeros,  # radiance
-                rng,
-                jnp.zeros(ox.shape, jnp.int32),  # depth
-                jnp.ones(ox.shape, jnp.int32),  # alive (int32 mask)
+                ox_ref[sl, :], oy_ref[sl, :], oz_ref[sl, :],
+                dx_ref[sl, :], dy_ref[sl, :], dz_ref[sl, :],
+                th_r_ref[sl, :], th_g_ref[sl, :], th_b_ref[sl, :],
+                ra_r_ref[sl, :], ra_g_ref[sl, :], ra_b_ref[sl, :],
+                rng_ref[sl, :],
+                depth_ref[sl, :],
+                alive_ref[sl, :],
             )
-            st = jax.lax.while_loop(lambda s: jnp.any(s[14] > 0), bounce, st)
+
+            def step(carry):
+                s, it = carry
+                return bounce(s), it + 1
+
+            (st, _) = jax.lax.while_loop(
+                lambda c: (c[1] < max_iters) & jnp.any(c[0][14] > 0),
+                step,
+                (st, jnp.int32(0)),
+            )
+            ox_o[sl, :] = st[0]
+            oy_o[sl, :] = st[1]
+            oz_o[sl, :] = st[2]
+            dx_o[sl, :] = st[3]
+            dy_o[sl, :] = st[4]
+            dz_o[sl, :] = st[5]
+            th_r_o[sl, :] = st[6]
+            th_g_o[sl, :] = st[7]
+            th_b_o[sl, :] = st[8]
             rad_r_ref[sl, :] = st[9]
             rad_g_ref[sl, :] = st[10]
             rad_b_ref[sl, :] = st[11]
             rng_out_ref[sl, :] = st[12]
+            depth_o[sl, :] = st[13]
+            alive_o[sl, :] = st[14]
             return 0
 
         jax.lax.fori_loop(0, num_blocks, block_body, 0)
@@ -856,45 +914,90 @@ def _make_kernel(
     return kernel
 
 
+class MegaState(NamedTuple):
+    """Full per-lane path state, streamed through capped kernel calls."""
+
+    org: jnp.ndarray  # (R, 3)
+    dir: jnp.ndarray  # (R, 3)
+    thr: jnp.ndarray  # (R, 3) throughput
+    rad: jnp.ndarray  # (R, 3) accumulated radiance
+    rng: jnp.ndarray  # (R,) uint32 PCG32 state
+    depth: jnp.ndarray  # (R,) int32
+    alive: jnp.ndarray  # (R,) bool
+
+
+def fresh_state(o: jnp.ndarray, d: jnp.ndarray, rng: jnp.ndarray) -> MegaState:
+    """Path state for freshly generated camera rays (post-jitter RNG)."""
+    r = o.shape[0]
+    return MegaState(
+        org=o,
+        dir=d,
+        thr=jnp.ones((r, 3), jnp.float32),
+        rad=jnp.zeros((r, 3), jnp.float32),
+        rng=rng,
+        depth=jnp.zeros((r,), jnp.int32),
+        alive=jnp.ones((r,), bool),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "background", "max_depth", "rr_depth", "nee_max_media", "tir_kill",
+        "max_iters",
     ),
 )
 def trace_paths_mega(
     grid: DeviceClusterGrid,
     media9: jnp.ndarray,  # (max(M,1), 9) pre-scaled media table
     misc: jnp.ndarray,  # (8,) light pos xyz + intensity rgb + pad
-    o: jnp.ndarray,  # (R, 3) ray origins
-    d: jnp.ndarray,  # (R, 3) ray directions
-    rng: jnp.ndarray,  # (R,) uint32 per-lane PCG32 state (post-jitter)
+    state: MegaState,
     background: int = 1,
     max_depth: int = 32,
     rr_depth: int = 16,
     nee_max_media: int = 4,
     tir_kill: bool = False,
-):
-    """Trace R full paths in one kernel. Returns (radiance (R, 3), rng (R,)).
+    max_iters: int | None = None,
+) -> MegaState:
+    """Advance R paths up to ``max_iters`` bounce iterations in ONE kernel.
+
+    With ``max_iters=None`` (= max_depth — every continuing lane's depth
+    grows at least 1 per iteration) paths run to termination, like the
+    reference's per-thread loop. A smaller cap returns the mid-flight
+    state so the caller can compact the wavefront and continue on a
+    narrower lane set (megarender's phase schedule).
 
     Lanes should arrive spatially sorted (the caller tiles pixels into
     32x32 blocks) so each 1024-lane block shares traversal work. R is
-    padded to a multiple of 1024 by repeating the first ray (outputs of
-    pad lanes are dropped).
+    padded to a multiple of 1024 (pad lanes arrive dead and are dropped).
     """
-    r = o.shape[0]
+    if max_iters is None:
+        max_iters = max_depth
+    r = state.org.shape[0]
     pad = (-r) % BLOCK
     rp = r + pad
     blocks = rp // BLOCK
 
-    def pack(x):
+    def pack(x, fill=None):
         if pad:
-            x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
+            tail = (
+                jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])
+                if fill is None
+                else jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+            )
+            x = jnp.concatenate([x, tail])
         return x.reshape(blocks * 8, 128)
 
-    ox, oy, oz = pack(o[:, 0]), pack(o[:, 1]), pack(o[:, 2])
-    dx, dy, dz = pack(d[:, 0]), pack(d[:, 1]), pack(d[:, 2])
-    rng2 = pack(rng)
+    o, d = state.org, state.dir
+    ins = (
+        pack(o[:, 0]), pack(o[:, 1]), pack(o[:, 2]),
+        pack(d[:, 0]), pack(d[:, 1]), pack(d[:, 2]),
+        pack(state.thr[:, 0]), pack(state.thr[:, 1]), pack(state.thr[:, 2]),
+        pack(state.rad[:, 0]), pack(state.rad[:, 1]), pack(state.rad[:, 2]),
+        pack(state.rng),
+        pack(state.depth),
+        pack(state.alive.astype(jnp.int32), fill=0),
+    )
 
     C = grid.num_clusters
     S = grid.num_supers
@@ -910,7 +1013,7 @@ def trace_paths_mega(
 
     kernel = _make_kernel(
         C, S, width, M, blocks, background, max_depth, rr_depth,
-        nee_max_media, tir_kill, 1e-4, 1e4,
+        nee_max_media, tir_kill, 1e-4, 1e4, max_iters,
         debug=_os.environ.get("CMR_MEGA_DEBUG", ""),
     )
 
@@ -918,17 +1021,18 @@ def trace_paths_mega(
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.float32)
     u32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.uint32)
+    i32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.int32)
 
-    rad_r, rad_g, rad_b, rng_out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         in_specs=[
             smem((C, 8)),
             smem((S, 8)),
             smem((M, 9)),
             smem((8,)),
-        ] + [vmem()] * 17,
-        out_specs=[vmem()] * 4,
-        out_shape=[f32, f32, f32, u32],
+        ] + [vmem()] * 25,
+        out_specs=[vmem()] * 15,
+        out_shape=[f32] * 12 + [u32, i32, i32],
         interpret=grid.interpret,
     )(
         grid.bounds, grid.super_bounds, media9, misc,
@@ -936,14 +1040,23 @@ def trace_paths_mega(
         grid.e1x, grid.e1y, grid.e1z,
         grid.e2x, grid.e2y, grid.e2z,
         grid.mat,
-        ox, oy, oz, dx, dy, dz, rng2,
+        *ins,
     )
 
-    rad = jnp.stack(
-        [rad_r.reshape(rp)[:r], rad_g.reshape(rp)[:r], rad_b.reshape(rp)[:r]],
-        axis=-1,
+    def unpack(x):
+        return x.reshape(rp)[:r]
+
+    (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg, rb, rng_o, depth_o,
+     alive_o) = (unpack(x) for x in outs)
+    return MegaState(
+        org=jnp.stack([ox, oy, oz], axis=-1),
+        dir=jnp.stack([dx, dy, dz], axis=-1),
+        thr=jnp.stack([tr, tg, tb], axis=-1),
+        rad=jnp.stack([rr_, rg, rb], axis=-1),
+        rng=rng_o,
+        depth=depth_o,
+        alive=alive_o > 0,
     )
-    return rad, rng_out.reshape(rp)[:r]
 
 
 def pack_media(media, scale) -> jnp.ndarray:

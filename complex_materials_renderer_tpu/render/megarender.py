@@ -1,17 +1,26 @@
 """Beauty-pass driver for the fused megakernel (kernels/megakernel.py).
 
 Mirrors render/integrator.py's render_beauty contract (same RNG modes,
-chunk-carry state, tile offsets for sharding) but runs each sample pass
-as ONE Pallas kernel instead of an XLA wavefront loop of many trace
-dispatches. Ray generation, per-pixel seeding and the jitter draws stay
-outside (cheap XLA, and they keep the per-lane PCG stream position
-identical to the wavefront engine), so both engines consume the same
-decision streams; images differ only by float-associativity noise.
+chunk-carry state, tile offsets for sharding) but runs the bounce loop as
+a short PHASE SCHEDULE of fused kernel calls instead of an XLA wavefront
+loop of many trace dispatches:
 
-Lanes are permuted into 32x32 pixel tiles so each 1024-lane kernel block
-traces a compact, direction-coherent pixel footprint (replaces the
-wavefront engine's per-bounce Morton re-sort — inside one kernel, block
-residency is fixed, so coherence is decided once at ray generation).
+- phase 1 advances every lane up to a few bounces in one kernel call;
+- between phases the wavefront is compacted (live lanes packed first by a
+  stable cumsum partition — no sort) and statically SHRUNK to a quarter
+  of the lanes, banking the dropped dead lanes' radiance/RNG;
+- the final phase runs the stragglers to termination on a few blocks.
+
+This fixes the fused kernel's tail pathology (a 1024-lane block used to
+run until its LAST lane died, so a handful of deep survivors kept every
+block alive) while keeping the kernel's per-bounce fusion: one dispatch
+per phase instead of ~10 trace dispatches per bounce. Lanes are permuted
+into 32x32 pixel tiles at ray generation so each 1024-lane kernel block
+traces a compact, direction-coherent pixel footprint.
+
+Per-lane RNG streams are identical to the wavefront engine's (same masked
+PCG draws), so both engines sample the same decision streams; images
+differ only by float-associativity noise.
 """
 
 from __future__ import annotations
@@ -22,7 +31,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..kernels.megakernel import pack_media, pack_misc, trace_paths_mega
+from ..kernels.megakernel import (
+    BLOCK,
+    MegaState,
+    fresh_state,
+    pack_media,
+    pack_misc,
+    trace_paths_mega,
+)
 from ..kernels.pallas_trace import DeviceClusterGrid
 from ..ops import rng as rng_ops
 from ..ops.camera import Camera, generate_rays
@@ -45,6 +61,43 @@ def _tile_perm(width: int, height: int):
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size, dtype=np.int32)
     return perm, inv
+
+
+def _phase_schedule(rp: int, max_depth: int):
+    """(lane_width, bounce_cap) pairs. Widths follow the measured wavefront
+    decay (NOTES.md: ~1/4 of lanes live after 3 bounces, ~1/16 after 6);
+    the last phase runs to termination (cap = max_depth — depth grows
+    every iteration, so that equals 'until dead')."""
+    raw = [(rp, 3), (rp // 4, 3), (rp // 16, 4), (rp // 64, max_depth)]
+    sched = []
+    for w, cap in raw:
+        w = max(BLOCK, -(-w // BLOCK) * BLOCK)
+        w = min(w, rp)
+        if sched and w >= sched[-1][0]:
+            continue
+        sched.append((w, cap))
+    if not sched:
+        sched = [(rp, max_depth)]
+    sched[-1] = (sched[-1][0], max_depth)
+    return sched
+
+
+def _partition_live(state: MegaState, lane: jnp.ndarray):
+    """Stable partition: live lanes first, dead lanes after, both in
+    original order (an O(R) cumsum + one scatter + gathers — no sort).
+    Survivors keep their tile-coherent order."""
+    alive = state.alive
+    n = alive.shape[0]
+    alive_i = alive.astype(jnp.int32)
+    n_live = jnp.sum(alive_i)
+    live_pos = jnp.cumsum(alive_i) - 1
+    dead_pos = n_live + jnp.cumsum(1 - alive_i) - 1
+    pos = jnp.where(alive, live_pos, dead_pos)
+    perm = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    take = lambda x: jnp.take(x, perm, axis=0)
+    return MegaState(*(take(x) for x in state)), take(lane)
 
 
 @partial(
@@ -98,6 +151,7 @@ def render_beauty_mega(
     )
     linear = pixel_xy[:, 1] * full_w + pixel_xy[:, 0]
     r = pixel_xy.shape[0]
+    rp = -(-r // BLOCK) * BLOCK  # lanes padded to whole kernel blocks
 
     perm, inv = _tile_perm(width, height)
     perm = jnp.asarray(perm)
@@ -107,6 +161,19 @@ def render_beauty_mega(
 
     media9 = pack_media(scene.media, scene.scale)
     misc = pack_misc(lights)
+    sched = _phase_schedule(rp, max_depth)
+
+    kern = partial(
+        trace_paths_mega,
+        grid,
+        media9,
+        misc,
+        background=scene.background,
+        max_depth=max_depth,
+        rr_depth=rr_depth,
+        nee_max_media=nee_max_media,
+        tir_kill=(tir == "kill"),
+    )
 
     def one_sample(carry, sample_idx):
         rng_state, acc = carry
@@ -120,20 +187,64 @@ def render_beauty_mega(
         org, direction = generate_rays(
             camera, pixel_xy_t, jitter, (full_w, full_h)
         )
-        rad, rng_out = trace_paths_mega(
-            grid,
-            media9,
-            misc,
-            org,
-            direction,
-            rng_state,
-            background=scene.background,
-            max_depth=max_depth,
-            rr_depth=rr_depth,
-            nee_max_media=nee_max_media,
-            tir_kill=(tir == "kill"),
+        state = fresh_state(org, direction, rng_state)
+        if rp != r:
+            padn = rp - r
+            state = MegaState(
+                org=jnp.concatenate([state.org, jnp.zeros((padn, 3))]),
+                dir=jnp.concatenate(
+                    [state.dir, jnp.ones((padn, 3), jnp.float32)]
+                ),
+                thr=jnp.concatenate([state.thr, jnp.zeros((padn, 3))]),
+                rad=jnp.concatenate([state.rad, jnp.zeros((padn, 3))]),
+                rng=jnp.concatenate([state.rng, jnp.zeros((padn,), jnp.uint32)]),
+                depth=jnp.concatenate([state.depth, jnp.zeros((padn,), jnp.int32)]),
+                alive=jnp.concatenate([state.alive, jnp.zeros((padn,), bool)]),
+            )
+        # Lane ids address the bank buffers; pads point at the spill row r.
+        lane = jnp.concatenate(
+            [jnp.arange(r, dtype=jnp.int32), jnp.full((rp - r,), r, jnp.int32)]
         )
-        return (rng_out, acc + rad), None
+        # Banked results, indexed by lane id (+1 spill row for pads).
+        rad_bank = jnp.zeros((r + 1, 3), jnp.float32)
+        rng_bank = jnp.zeros((r + 1,), jnp.uint32)
+
+        for i, (w, cap) in enumerate(sched):
+            if i == 0:
+                state = kern(state, max_iters=cap)
+            else:
+                # Shrink to this phase's width: pack live lanes first, bank
+                # the dropped tail (all dead — the guard loop below ensures
+                # live <= w before we get here).
+                state, lane = _partition_live(state, lane)
+                drop_lane = lane[w:]
+                rad_bank = rad_bank.at[drop_lane].set(state.rad[w:])
+                rng_bank = rng_bank.at[drop_lane].set(state.rng[w:])
+                state = MegaState(*(x[:w] for x in state))
+                lane = lane[:w]
+                state = kern(state, max_iters=cap)
+            if i + 1 < len(sched):
+                next_w = sched[i + 1][0]
+
+                def spill_cond(c):
+                    s, _l = c
+                    return jnp.sum(s.alive.astype(jnp.int32)) > next_w
+
+                def spill_body(c):
+                    s, l = c
+                    return kern(s, max_iters=cap), l
+
+                # Decay slower than the schedule assumes? Keep bouncing at
+                # this width until the survivors fit the next one.
+                state, lane = jax.lax.while_loop(
+                    spill_cond, spill_body, (state, lane)
+                )
+
+        rad_bank = rad_bank.at[lane].set(state.rad)
+        rng_bank = rng_bank.at[lane].set(state.rng)
+        rad_t = rad_bank[:r]
+        rng_t = rng_bank[:r]
+        return (rng_t, acc + rad_t), None
 
     seed0 = (
         jnp.take(rng_state, perm, axis=0)
