@@ -365,16 +365,22 @@ def _make_kernel(
             tf = jnp.minimum(tf, TMAX)
             return jnp.min(jnp.where(tn <= tf, tn, _INF))
 
-        def traverse(OX, OY, OZ, DX, DY, DZ, TMAX, payload: str):
-            """Ordered early-terminating closest-hit traversal.
+        K_NEE = 2 * nee_max_media  # tracked hits in the NEE multi-hit sweep
 
-            payload: 'full' -> (t, slot, u, v, nx, ny, nz, mat, px, py, pz)
-                     'nee'  -> (t, slot, mat)
-                     'dist' -> (t, slot)
+        def traverse(OX, OY, OZ, DX, DY, DZ, TMAX, payload: str):
+            """Ordered early-terminating traversal.
+
+            payload: 'full' -> closest hit (t, slot, u, v, nx, ny, nz,
+                               mat, px, py, pz)
+                     'nee'  -> K_NEE nearest hits (t_0..t_{K-1} ascending,
+                               m_0..m_{K-1}): ONE sweep collects every
+                               boundary the shadow march needs, replacing
+                               the reference's chain of per-leg ray
+                               queries (volpath:353-412) with a sorted
+                               insertion per triangle hit
+                     'dist' -> closest hit (t, slot)
             t == per-lane TMAX on miss; slot/mat == -1. Dead lanes are
-            encoded as TMAX <= t_min and never match. The NEE march
-            reconstructs hit positions as origin + t*dir (exact along a
-            straight shadow line), so its payload carries no position.
+            encoded as TMAX <= t_min and never match.
             """
             IX, IY, IZ = _safe_inv(DX), _safe_inv(DY), _safe_inv(DZ)
             zeros = jnp.zeros_like(OX)
@@ -384,12 +390,18 @@ def _make_kernel(
                 state0 = (TMAX, neg1, zeros, zeros, zeros, zeros,
                           jnp.ones_like(OX), neg1, zeros, zeros, zeros)
             elif payload == "nee":
-                state0 = (TMAX, neg1, neg1)
+                state0 = tuple([TMAX] * K_NEE) + tuple([neg1] * K_NEE)
             else:
                 state0 = (TMAX, neg1)
 
+            def bound_of(state):
+                """Early-exit bound: the worst tracked hit — for a
+                closest-hit walk that is t_best; for the multi-hit sweep
+                the K-th smallest."""
+                return state[K_NEE - 1] if payload == "nee" else state[0]
+
             def test_cluster(c, state):
-                t_best = state[0]
+                t_best = bound_of(state)
                 a_x = v0x_ref[c]
                 a_y = v0y_ref[c]
                 a_z = v0z_ref[c]
@@ -402,7 +414,11 @@ def _make_kernel(
                 m_row = mat_ref[c]
                 base_slot = (c * width).astype(jnp.float32)
 
-                rest = list(state[1:])
+                if payload == "nee":
+                    ts = list(state[:K_NEE])
+                    ms = list(state[K_NEE:])
+                else:
+                    rest = list(state[1:])
                 eps = jnp.float32(1e-6)
                 for j in range(width):
                     ax = a_x[j]
@@ -432,6 +448,28 @@ def _make_kernel(
                     qz = sx * e1yj - sy * e1xj
                     vv = (DX * qx + DY * qy + DZ * qz) * inv_det
                     tt = (e2xj * qx + e2yj * qy + e2zj * qz) * inv_det
+                    if payload == "nee":
+                        # Sorted insertion into the K nearest-hit list:
+                        # bubble (cand_t, cand_m) down; each slot costs a
+                        # compare + min/max + two selects.
+                        valid = (
+                            (uu >= -eps)
+                            & (vv >= -eps)
+                            & (uu + vv <= 1.0 + eps)
+                            & (tt > t_min)
+                            & (tt < ts[-1])
+                        )
+                        cand_t = jnp.where(valid, tt, _INF)
+                        cand_m = jnp.full_like(tt, m_row[j])
+                        for i in range(K_NEE):
+                            old_t = ts[i]
+                            old_m = ms[i]
+                            lt = cand_t < old_t
+                            ts[i] = jnp.minimum(cand_t, old_t)
+                            ms[i] = jnp.where(lt, cand_m, old_m)
+                            cand_t = jnp.maximum(cand_t, old_t)
+                            cand_m = jnp.where(lt, old_m, cand_m)
+                        continue
                     improved = (
                         (uu >= -eps)
                         & (vv >= -eps)
@@ -463,6 +501,8 @@ def _make_kernel(
                         slot = jnp.where(improved, base_slot + j, slot)
                         rest = [slot]
 
+                if payload == "nee":
+                    return tuple(ts) + tuple(ms)
                 return (t_best, *rest)
 
             def visit_super(sp, state):
@@ -472,7 +512,7 @@ def _make_kernel(
                     c = lo + k
                     cc = jnp.minimum(c, C - 1)
                     e = slab_entry_min(cb_ref, cc, OX, OY, OZ, IX, IY, IZ,
-                                       state[0])
+                                       bound_of(state))
                     e = jnp.where(c < C, e, _INF)
                     return jnp.where(flat_iota == k, e, entries)
 
@@ -482,7 +522,7 @@ def _make_kernel(
 
                 def ccond(carry):
                     st, entries = carry
-                    return jnp.min(entries) < jnp.max(st[0])
+                    return jnp.min(entries) < jnp.max(bound_of(st))
 
                 def cbody(carry):
                     st, entries = carry
@@ -500,7 +540,7 @@ def _make_kernel(
                 # ordered nearest-first walk.
                 def cluster_lin(c, st):
                     e = slab_entry_min(cb_ref, c, OX, OY, OZ, IX, IY, IZ,
-                                       st[0])
+                                       bound_of(st))
                     return jax.lax.cond(
                         e < _INF, lambda s: test_cluster(c, s), lambda s: s, st
                     )
@@ -509,7 +549,7 @@ def _make_kernel(
                     lo = sp * SUPER_FACTOR
                     hi = jnp.minimum(lo + SUPER_FACTOR, C)
                     e = slab_entry_min(sb_ref, sp, OX, OY, OZ, IX, IY, IZ,
-                                       st[0])
+                                       bound_of(st))
                     return jax.lax.cond(
                         e < _INF,
                         lambda s: jax.lax.fori_loop(lo, hi, cluster_lin, s),
@@ -529,7 +569,7 @@ def _make_kernel(
 
             def scond(carry):
                 st, entries = carry
-                return jnp.min(entries) < jnp.max(st[0])
+                return jnp.min(entries) < jnp.max(bound_of(st))
 
             def sbody(carry):
                 st, entries = carry
@@ -589,10 +629,16 @@ def _make_kernel(
 
         def nee_march(px, py, pz, active):
             """Direct light through media boundaries (volpath:337-426;
-            integrator.sample_direct_light). One traversal per boundary;
-            pairs alternate via the in_med flag. Draws no RNG. Returns the
-            rgb light value (inverse-square falloff x marched
-            transmittance; unresolved marches fail dark)."""
+            integrator.sample_direct_light). ONE multi-hit traversal
+            collects the K = 2*nee_max_media nearest boundaries along the
+            shadow line; a static unrolled march then replays the
+            reference's leg logic over the sorted hit list — enter legs
+            get the 0.999 light-distance epsilon (volpath:361), exit legs
+            the T_MIN floor, duplicate boundaries within T_MIN of the
+            previous one are skipped exactly like per-leg queries with a
+            T_MIN ray offset would. Draws no RNG. Unresolved marches
+            (every list entry consumed as a boundary) fail dark, matching
+            the wavefront engine's bounded-march semantics."""
             tlx = lx - px
             tly = ly - py
             tlz = lz - pz
@@ -605,83 +651,65 @@ def _make_kernel(
             lv_g = lig * inv * inv
             lv_b = lib * inv * inv
 
+            eff = jnp.where(active, ldist, 0.0)
+            hits = traverse(px, py, pz, ldx, ldy, ldz, eff, "nee")
+            ts = hits[:K_NEE]
+            ms = hits[K_NEE:]
+
             ones = jnp.ones_like(px)
-            carry0 = (
-                ones, ones, ones,  # trans rgb
-                px, py, pz,  # march origin
-                jnp.where(active, ldist, 0.0),  # remaining
-                # in_med rides as an int32 mask: i1 vectors are not legal
-                # while-loop carries in Mosaic.
-                jnp.zeros(px.shape, jnp.int32),
-                jnp.zeros_like(px), jnp.zeros_like(px), jnp.zeros_like(px),
-                # entry-medium extinction rgb
-                jnp.int32(0),
-            )
+            tr_r = ones
+            tr_g = ones
+            tr_b = ones
+            running = active
+            in_med = jnp.zeros_like(active)
+            ex_r = jnp.zeros_like(px)
+            ex_g = jnp.zeros_like(px)
+            ex_b = jnp.zeros_like(px)
+            last_t = jnp.zeros_like(px)
 
-            def mcond(c):
-                rem = c[6]
-                it = c[11]
-                return (it < 2 * nee_max_media) & jnp.any(rem > 0.0)
-
-            def mbody(c):
-                (tr_r, tr_g, tr_b, mx, my, mz, rem, in_med_i,
-                 ex_r, ex_g, ex_b, it) = c
-                in_med = in_med_i > 0
-                run = rem > 0.0
-                # enter legs get the 0.999 light-distance epsilon
-                # (volpath:361); exit legs the T_MIN floor.
-                tmax = jnp.where(in_med, jnp.maximum(rem, t_min), rem * 0.999)
-                tmax = jnp.where(run, tmax, 0.0)
-                t, slot, hmat = traverse(
-                    mx, my, mz, ldx, ldy, ldz, tmax, "nee"
+            for i in range(K_NEE):
+                t_i = ts[i]
+                m_i = ms[i]
+                rem = ldist - last_t
+                dup = t_i <= last_t + t_min
+                cut = jnp.where(
+                    in_med,
+                    last_t + jnp.maximum(rem, t_min),
+                    last_t + 0.999 * rem,
                 )
-                # March origins advance along the straight shadow line.
-                hpx = mx + t * ldx
-                hpy = my + t * ldy
-                hpz = mz + t * ldz
-                hit = slot >= 0.0
-                has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, _g, _ior = media_scan(
-                    hmat
+                consider = running & ~dup
+                real = consider & (t_i < jnp.minimum(cut, eff))
+                ended = consider & ~real  # miss: march resolves, trans kept
+                (has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, _g2, _i2) = (
+                    media_scan(m_i)
                 )
+                occl = real & ~has  # opaque surface occludes (volpath:372)
+                tr_r = jnp.where(occl, 0.0, tr_r)
+                tr_g = jnp.where(occl, 0.0, tr_g)
+                tr_b = jnp.where(occl, 0.0, tr_b)
 
-                # opaque (medium-less) surface fully occludes (volpath:372)
-                occluded = run & hit & ~has
-                tr_r = jnp.where(occluded, 0.0, tr_r)
-                tr_g = jnp.where(occluded, 0.0, tr_g)
-                tr_b = jnp.where(occluded, 0.0, tr_b)
-
-                enter = run & ~in_med & hit & has
-                pair = run & in_med & hit & has
-                # exit leg: attenuate by the ENTRY medium over the segment
-                seg = jnp.minimum(t, rem)
+                boundary = real & has
+                exitl = boundary & in_med
+                seg = jnp.minimum(t_i - last_t, rem)
                 a_r = 0.9 * jnp.exp(-ex_r * seg)
                 a_g = 0.9 * jnp.exp(-ex_g * seg)
                 a_b = 0.9 * jnp.exp(-ex_b * seg)
-                tr_r = jnp.where(pair, tr_r * a_r, tr_r)
-                tr_g = jnp.where(pair, tr_g * a_g, tr_g)
-                tr_b = jnp.where(pair, tr_b * a_b, tr_b)
+                tr_r = jnp.where(exitl, tr_r * a_r, tr_r)
+                tr_g = jnp.where(exitl, tr_g * a_g, tr_g)
+                tr_b = jnp.where(exitl, tr_b * a_b, tr_b)
 
-                cont = enter | pair
-                mx = jnp.where(cont, hpx, mx)
-                my = jnp.where(cont, hpy, my)
-                mz = jnp.where(cont, hpz, mz)
-                rem = jnp.where(cont, rem - t, 0.0)
-                ex_r = jnp.where(enter, ss_r + sa_r, ex_r)
-                ex_g = jnp.where(enter, ss_g + sa_g, ex_g)
-                ex_b = jnp.where(enter, ss_b + sa_b, ex_b)
-                # toggle enter<->exit on continuing lanes
-                in_med_i = in_med_i ^ cont.astype(jnp.int32)
-                return (tr_r, tr_g, tr_b, mx, my, mz, rem, in_med_i,
-                        ex_r, ex_g, ex_b, it + 1)
+                enterl = boundary & ~in_med
+                ex_r = jnp.where(enterl, ss_r + sa_r, ex_r)
+                ex_g = jnp.where(enterl, ss_g + sa_g, ex_g)
+                ex_b = jnp.where(enterl, ss_b + sa_b, ex_b)
+                last_t = jnp.where(boundary, t_i, last_t)
+                in_med = in_med ^ boundary  # toggle enter<->exit
+                running = running & ~(ended | occl)
 
-            out = jax.lax.while_loop(mcond, mbody, carry0)
-            tr_r, tr_g, tr_b = out[0], out[1], out[2]
-            rem = out[6]
-            # Bound exhaustion fails dark (see integrator note).
-            unresolved = rem > 0.0
-            tr_r = jnp.where(unresolved, 0.0, tr_r)
-            tr_g = jnp.where(unresolved, 0.0, tr_g)
-            tr_b = jnp.where(unresolved, 0.0, tr_b)
+            # List exhausted while still marching: fail dark.
+            tr_r = jnp.where(running, 0.0, tr_r)
+            tr_g = jnp.where(running, 0.0, tr_g)
+            tr_b = jnp.where(running, 0.0, tr_b)
             return lv_r * tr_r, lv_g * tr_g, lv_b * tr_b
 
         def bounce(st):
@@ -690,10 +718,35 @@ def _make_kernel(
             alive = alive_i > 0
 
             eff = jnp.where(alive, t_max_f, 0.0)
-            (t, slot, u, v, gnx, gny, gnz, mat, px, py, pz) = traverse(
-                ox, oy, oz, dx, dy, dz, eff, "full"
-            )
+            if "notrace" in debug:
+                # Timing ablation: fabricate a hit payload.
+                t = jnp.full_like(ox, 2.0)
+                slot = jnp.zeros_like(ox)
+                u = jnp.full_like(ox, 0.3)
+                v = jnp.full_like(ox, 0.3)
+                gnx = jnp.zeros_like(ox)
+                gny = jnp.ones_like(ox)
+                gnz = jnp.zeros_like(ox)
+                mat = jnp.zeros_like(ox)
+                px = ox + 2.0 * dx
+                py = oy + 2.0 * dy
+                pz = oz + 2.0 * dz
+            else:
+                (t, slot, u, v, gnx, gny, gnz, mat, px, py, pz) = traverse(
+                    ox, oy, oz, dx, dy, dz, eff, "full"
+                )
             hit = slot >= 0.0
+            if "nophys" in debug:
+                # Timing ablation: bounce = mirror the ray at the hit.
+                got_hit = alive & hit
+                depth = depth + 1
+                na = got_hit & (depth < max_depth)
+                return (
+                    jnp.where(got_hit, px, ox), jnp.where(got_hit, py, oy),
+                    jnp.where(got_hit, pz, oz), -dx, -dy, -dz,
+                    th_r, th_g, th_b, ra_r + 0.01, ra_g, ra_b,
+                    rng, depth, na.astype(jnp.int32),
+                )
             got_hit = alive & hit
             nx, ny, nz = _norm3(gnx, gny, gnz)
             has0, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, g, ior = media_scan(mat)

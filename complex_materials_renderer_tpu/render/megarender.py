@@ -82,20 +82,41 @@ def _phase_schedule(rp: int, max_depth: int):
     return sched
 
 
-def _partition_live(state: MegaState, lane: jnp.ndarray):
-    """Stable partition: live lanes first, dead lanes after, both in
-    original order (an O(R) cumsum + one scatter + gathers — no sort).
-    Survivors keep their tile-coherent order."""
-    alive = state.alive
-    n = alive.shape[0]
-    alive_i = alive.astype(jnp.int32)
-    n_live = jnp.sum(alive_i)
-    live_pos = jnp.cumsum(alive_i) - 1
-    dead_pos = n_live + jnp.cumsum(1 - alive_i) - 1
-    pos = jnp.where(alive, live_pos, dead_pos)
-    perm = jnp.zeros((n,), jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32)
+def _spread3(v):
+    """Interleave 10-bit ints for Morton codes (classic bit smear)."""
+    v = v.astype(jnp.uint32)
+    v = (v | (v << jnp.uint32(16))) & jnp.uint32(0x030000FF)
+    v = (v | (v << jnp.uint32(8))) & jnp.uint32(0x0300F00F)
+    v = (v | (v << jnp.uint32(4))) & jnp.uint32(0x030C30C3)
+    v = (v | (v << jnp.uint32(2))) & jnp.uint32(0x09249249)
+    return v
+
+
+def _partition_live(state: MegaState, lane: jnp.ndarray, scene):
+    """Compact + re-sort the wavefront: dead lanes last, live lanes
+    ordered by (direction octant, Morton cell of origin) — the same
+    coherence key the wavefront engine re-sorts with every bounce
+    (integrator._compact). Inside the kernel a block's cluster culls
+    reduce over all 1024 lanes, so traversal cost tracks the block's
+    spatial FOOTPRINT, not its lane count; after 2-3 bounces the initial
+    pixel-tile assignment has decayed and re-sorting at each phase
+    boundary restores it."""
+    extent = jnp.maximum(scene.world_hi - scene.world_lo, 1e-6)
+    rel = (state.org - scene.world_lo) / extent
+    q = jnp.clip(rel * 32.0, 0.0, 31.0).astype(jnp.uint32)
+    cell = (
+        (_spread3(q[:, 0]) << jnp.uint32(2))
+        | (_spread3(q[:, 1]) << jnp.uint32(1))
+        | _spread3(q[:, 2])
     )
+    octant = (
+        (state.dir[:, 0] > 0).astype(jnp.uint32) * jnp.uint32(4)
+        + (state.dir[:, 1] > 0).astype(jnp.uint32) * jnp.uint32(2)
+        + (state.dir[:, 2] > 0).astype(jnp.uint32)
+    )
+    key = (octant << jnp.uint32(15)) | cell
+    key = jnp.where(state.alive, key, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key)
     take = lambda x: jnp.take(x, perm, axis=0)
     return MegaState(*(take(x) for x in state)), take(lane)
 
@@ -216,7 +237,7 @@ def render_beauty_mega(
                 # Shrink to this phase's width: pack live lanes first, bank
                 # the dropped tail (all dead — the guard loop below ensures
                 # live <= w before we get here).
-                state, lane = _partition_live(state, lane)
+                state, lane = _partition_live(state, lane, scene)
                 drop_lane = lane[w:]
                 rad_bank = rad_bank.at[drop_lane].set(state.rad[w:])
                 rng_bank = rng_bank.at[drop_lane].set(state.rng[w:])

@@ -187,11 +187,18 @@ class Renderer:
 
         engine = opt.engine
         if engine == "auto":
-            # The megakernel is pixel-identical to the wavefront engine but
-            # not yet faster on the default deep-path config (no cross-block
-            # compaction; see NOTES.md round-2 log) — auto stays on the
-            # wavefront until the mega path wins its A/B.
-            engine = "wavefront"
+            # The phase-compacted megakernel beats the wavefront engine on
+            # TPU (showcase 256^2@8: 1.07 vs 0.63 Mpaths/s, NOTES.md round-2
+            # log) and needs the cluster backend; the wavefront loop remains
+            # the portable engine and the only one for the threaded BVH.
+            from .kernels.pallas_trace import DeviceClusterGrid as _DCG
+
+            engine = (
+                "mega"
+                if jax.default_backend() == "tpu"
+                and isinstance(self.bvh, _DCG)
+                else "wavefront"
+            )
         if engine == "mega" and not isinstance(self.bvh, DeviceClusterGrid):
             raise ValueError("--engine mega requires --backend cluster")
         if engine == "mega":

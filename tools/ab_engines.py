@@ -16,6 +16,7 @@ def main() -> None:
     scene_path = sys.argv[1] if len(sys.argv) > 1 else "scenes/showcase.obj"
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     spp = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    cluster_size = int(sys.argv[4]) if len(sys.argv) > 4 else 128
 
     from complex_materials_renderer_tpu.config import RenderOptions
     from complex_materials_renderer_tpu.renderer import Renderer
@@ -33,6 +34,7 @@ def main() -> None:
         opt.rng = "counter"
         opt.shard = "none"
         opt.engine = engine
+        opt.cluster_size = cluster_size
         scene = load_scene(opt.obj_path, opt)
         r = Renderer(scene, scene.options)
         r.render()  # warm: compile the exact pass signatures

@@ -73,57 +73,62 @@ def main() -> None:
     media9 = mk.pack_media(arrays.media, arrays.scale)
     misc = mk.pack_misc(lights)
 
-    def timed(label, max_iters, debug):
+    def timed(label, max_iters, debug, chain=1):
+        """Time ``chain`` state-chained kernel calls inside ONE jit (the
+        host<->axon round trip is ~26 ms per Python-level call, so only
+        in-jit slopes measure device time)."""
         os.environ["CMR_MEGA_DEBUG"] = debug
         mk.trace_paths_mega.clear_cache()
+
+        from functools import partial as _p
+
+        @_p(jax.jit, static_argnames=("n",))
+        def run(st, n):
+            def body(s, _):
+                s2 = mk.trace_paths_mega(
+                    grid, media9, misc, s,
+                    background=arrays.background, max_depth=o.max_depth,
+                    rr_depth=o.rr_depth, nee_max_media=o.nee_max_media,
+                    max_iters=max_iters,
+                )
+                return s2, None
+            st, _ = jax.lax.scan(body, st, None, length=n)
+            return st
+
         st = mk.fresh_state(org, d, rng)
-        out = mk.trace_paths_mega(
-            grid, media9, misc, st,
-            background=arrays.background, max_depth=o.max_depth,
-            rr_depth=o.rr_depth, nee_max_media=o.nee_max_media,
-            max_iters=max_iters,
-        )
+        out = run(st, chain)
         jax.block_until_ready(out)
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            out = mk.trace_paths_mega(
-                grid, media9, misc, st,
-                background=arrays.background, max_depth=o.max_depth,
-                rr_depth=o.rr_depth, nee_max_media=o.nee_max_media,
-                max_iters=max_iters,
-            )
+            out = run(st, chain)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
         alive = int(np.sum(np.asarray(out.alive)))
         print(
-            f"{label:28s} iters={max_iters:2d} debug={debug or '-':8s} "
+            f"{label:30s} iters={max_iters:2d}x{chain} debug={debug or '-':18s} "
             f"{best * 1e3:8.2f} ms  live_after={alive}"
         )
         return best
 
     n_blocks = (r + 1023) // 1024
     print(f"lanes={r} blocks={n_blocks}")
-    t1_full = timed("1 bounce, full", 1, "")
-    t1_full2 = timed("1 bounce, full (repeat)", 1, "")
-    t1_lin = timed("1 bounce, linear trav", 1, "lin")
-    t1_none = timed("1 bounce, no NEE+dist", 1, "nonee,nodist")
-    t1_lin_none = timed("1 bounce, lin+no NEE+dist", 1, "lin,nonee,nodist")
-    t32 = timed("to death, full", 32, "")
-    t32_lin = timed("to death, linear trav", 32, "lin")
-
-    # Round-1 standalone tracer on the same camera rays, for reference.
-    from complex_materials_renderer_tpu.kernels.pallas_trace import (
-        trace_shaded_clusters,
+    t1 = timed("1 bounce, full", 1, "", chain=1)
+    t5 = timed("5 bounces, full", 1, "", chain=5)
+    t5_nonee = timed("5 bounces, no NEE", 1, "nonee", chain=5)
+    t5_nodist = timed("5 bounces, no dist", 1, "nodist", chain=5)
+    t5_notr = timed("5 bounces, phys only", 1, "notrace,nonee,nodist", chain=5)
+    t5_off = timed("5 bounces, all off", 1, "notrace,nonee,nodist,nophys", chain=5)
+    per = (t5 - t1) / 4
+    print(
+        f"\ndevice-time slopes (bounces 1-4, {n_blocks} blocks):\n"
+        f"  full bounce      : {per * 1e3:7.2f} ms\n"
+        f"  - NEE march      : {(t5 - t5_nonee) / 4 * 1e3:7.2f} ms\n"
+        f"  - dist trace     : {(t5 - t5_nodist) / 4 * 1e3:7.2f} ms\n"
+        f"  - main traverse  : {(t5_nonee + t5_nodist - t5 - t5_notr) / 4 * 1e3:7.2f} ms (approx)\n"
+        f"  - physics        : {(t5_notr - t5_off) / 4 * 1e3:7.2f} ms\n"
+        f"  - loop scaffold  : {(t5_off - t1) / 4 * 1e3:7.2f} ms"
     )
-
-    sh = trace_shaded_clusters(org, d, grid, 1e-4, 1e4)
-    jax.block_until_ready(sh.t)
-    t0 = time.perf_counter()
-    sh = trace_shaded_clusters(org, d, grid, 1e-4, 1e4)
-    jax.block_until_ready(sh.t)
-    t_r1 = time.perf_counter() - t0
-    print(f"round-1 pallas_trace full-payload trace: {t_r1 * 1e3:8.2f} ms")
     os.environ.pop("CMR_MEGA_DEBUG", None)
 
 
