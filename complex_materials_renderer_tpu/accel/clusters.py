@@ -69,10 +69,52 @@ def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) | spread(z)
 
 
+def _split_oversized(
+    tris: np.ndarray, index: np.ndarray, frac: float, max_factor: float
+):
+    """Longest-edge bisection of triangles whose longest edge exceeds
+    ``frac`` of the scene extent.
+
+    Scene-spanning triangles (the showcase floor is two 20-unit quads)
+    poison Morton clustering: any cluster containing one gets a
+    scene-sized AABB that every traversal must visit. Splitting changes
+    no geometry — children lie exactly in the parent's plane with the
+    same winding, so normals, materials and hit distances are preserved
+    (hit positions differ only by float rounding). ``index`` maps each
+    output triangle to its original id. Growth is capped at
+    ``max_factor``x the input count.
+    """
+    lo = tris.min(axis=(0, 1))
+    hi = tris.max(axis=(0, 1))
+    limit = float(np.max(hi - lo)) * frac
+    if limit <= 0.0:
+        return tris, index
+    budget = int(max_factor * len(tris))
+    out_t = list(tris)
+    out_i = list(index)
+    work = list(range(len(out_t)))
+    while work and len(out_t) < budget:
+        ti = work.pop()
+        t = out_t[ti]
+        e = ((np.roll(t, -1, axis=0) - t) ** 2).sum(axis=1)  # edge^2 ab,bc,ca
+        k = int(np.argmax(e))
+        if e[k] <= limit * limit:
+            continue
+        a, b, c = t[k], t[(k + 1) % 3], t[(k + 2) % 3]
+        m = 0.5 * (a + b)
+        out_t[ti] = np.stack([a, m, c])
+        out_t.append(np.stack([m, b, c]))
+        out_i.append(out_i[ti])
+        work.append(ti)
+        work.append(len(out_t) - 1)
+    return np.asarray(out_t, np.float32), np.asarray(out_i, np.int32)
+
+
 def build_clusters(
     triangles: np.ndarray,
     mat_ids: np.ndarray | None = None,
     cluster_size: int = CLUSTER_SIZE,
+    split_frac: float = 0.0,
 ) -> ClusterGrid:
     """Build a ClusterGrid over ``triangles`` of shape (T, 3, 3).
 
@@ -80,12 +122,21 @@ def build_clusters(
     (saving the integrator a per-lane gather); defaults to zeros.
     ``cluster_size`` is the tracer's statically-unrolled inner width —
     128 (a full lane vector) in production; tests shrink it so the Pallas
-    interpreter stays fast.
+    interpreter stays fast. ``split_frac`` bisects triangles longer than
+    that fraction of the scene extent before clustering (0 disables; see
+    _split_oversized). Splitting remaps u/v to the sub-triangle, so the
+    renderer enables it for beauty passes only (hit positions, normals,
+    materials and distances are plane-exact either way).
     """
     tris = np.asarray(triangles, np.float32)
     num_tris = tris.shape[0]
     if num_tris == 0:
         raise ValueError("cannot build clusters over zero triangles")
+
+    orig_index = np.arange(num_tris, dtype=np.int32)
+    if split_frac > 0.0:
+        tris, orig_index = _split_oversized(tris, orig_index, split_frac, 4.0)
+        num_tris = tris.shape[0]
 
     centroids = tris.mean(axis=1)
     lo = centroids.min(axis=0)
@@ -99,11 +150,11 @@ def build_clusters(
     slots = num_clusters * cluster_size
 
     tri_index = np.full(slots, -1, np.int32)
-    tri_index[:num_tris] = order
+    tri_index[:num_tris] = orig_index[order]  # slot -> ORIGINAL triangle id
 
     mats = np.full(slots, -1, np.int32)
     if mat_ids is not None:
-        mats[:num_tris] = np.asarray(mat_ids, np.int32)[order]
+        mats[:num_tris] = np.asarray(mat_ids, np.int32)[orig_index[order]]
     else:
         mats[:num_tris] = 0
 

@@ -62,6 +62,7 @@ def render_beauty_sharded(
     row_offset: int = 0,
     full_resolution=None,
     sample_offset: int = 0,
+    engine: str = "wavefront",
 ):
     """Render (H, W, 3), rows sharded over 'tile', samples over 'sample'.
 
@@ -69,6 +70,10 @@ def render_beauty_sharded(
     a band/chunk of a larger render (the host loops bands x sample chunks
     so no single dispatch runs unboundedly long — same chunking contract
     as the single-device path).
+
+    ``engine='mega'`` runs the fused megakernel per shard (requires the
+    cluster backend); tracing stays communication-free either way — the
+    engines differ only inside each device's shard.
     """
     width, height = resolution
     full_resolution = full_resolution if full_resolution else (width, height)
@@ -90,8 +95,13 @@ def render_beauty_sharded(
     row_starts = jnp.arange(n_tile, dtype=jnp.int32) * rows_per_tile
     sample_starts = jnp.arange(n_sample, dtype=jnp.uint32) * jnp.uint32(samples_per_dev)
 
+    if engine == "mega":
+        from ..render.megarender import render_beauty_mega as _beauty
+    else:
+        _beauty = render_beauty
+
     def shard_fn(row_start, sample_start, scene_, bvh_, camera_, lights_):
-        img = render_beauty(
+        img = _beauty(
             camera_,
             scene_,
             bvh_,

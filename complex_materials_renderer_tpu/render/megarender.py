@@ -67,8 +67,20 @@ def _phase_schedule(rp: int, max_depth: int):
     """(lane_width, bounce_cap) pairs. Widths follow the measured wavefront
     decay (NOTES.md: ~1/4 of lanes live after 3 bounces, ~1/16 after 6);
     the last phase runs to termination (cap = max_depth — depth grows
-    every iteration, so that equals 'until dead')."""
-    raw = [(rp, 3), (rp // 4, 3), (rp // 16, 4), (rp // 64, max_depth)]
+    every iteration, so that equals 'until dead').
+
+    CMR_MEGA_SCHED="div:cap,div:cap,..." overrides for tuning runs
+    (div = lane-width divisor)."""
+    import os
+
+    env = os.environ.get("CMR_MEGA_SCHED", "")
+    if env:
+        raw = [
+            (rp // int(d), int(c))
+            for d, c in (p.split(":") for p in env.split(","))
+        ]
+    else:
+        raw = [(rp, 3), (rp // 4, 3), (rp // 16, 4), (rp // 64, max_depth)]
     sched = []
     for w, cap in raw:
         w = max(BLOCK, -(-w // BLOCK) * BLOCK)

@@ -75,6 +75,11 @@ class Renderer:
                 self._host_accel = build_clusters(
                     scene.triangles, scene.mat_ids,
                     cluster_size=self.options.cluster_size,
+                    # Oversized-triangle bisection (split_frac) measured
+                    # SLOWER on the bench scenes (0.81 vs 1.07 Mpaths/s on
+                    # showcase): the extra clusters cost more visits than
+                    # the tighter AABBs save. Off by default; available
+                    # for scenes with pathological scene-spanning fans.
                 )
                 build_fn = lambda: device_cluster_grid(self._host_accel)
             else:
@@ -127,6 +132,7 @@ class Renderer:
         if opt.shard == "auto" and len(jax.devices()) > 1:
             from .parallel.sharding import make_render_mesh, render_beauty_sharded
 
+            engine = self._resolve_engine()
             mesh = make_render_mesh()
             n_tile = mesh.shape["tile"]
             # Chunk bands x sample chunks so no sharded dispatch runs
@@ -164,6 +170,7 @@ class Renderer:
                             row_offset=row0,
                             full_resolution=resolution,
                             sample_offset=done,
+                            engine=engine,
                         )
                         acc[row0 : row0 + band_h] += np.asarray(
                             jax.block_until_ready(img)
@@ -183,24 +190,7 @@ class Renderer:
         # one Pallas kernel per pass (kernels/megakernel.py) and needs the
         # cluster-grid accel; the wavefront XLA loop remains the portable
         # engine (and the only one for the threaded-BVH backend).
-        from .kernels.pallas_trace import DeviceClusterGrid
-
-        engine = opt.engine
-        if engine == "auto":
-            # The phase-compacted megakernel beats the wavefront engine on
-            # TPU (showcase 256^2@8: 1.07 vs 0.63 Mpaths/s, NOTES.md round-2
-            # log) and needs the cluster backend; the wavefront loop remains
-            # the portable engine and the only one for the threaded BVH.
-            from .kernels.pallas_trace import DeviceClusterGrid as _DCG
-
-            engine = (
-                "mega"
-                if jax.default_backend() == "tpu"
-                and isinstance(self.bvh, _DCG)
-                else "wavefront"
-            )
-        if engine == "mega" and not isinstance(self.bvh, DeviceClusterGrid):
-            raise ValueError("--engine mega requires --backend cluster")
+        engine = self._resolve_engine()
         if engine == "mega":
             from .render.megarender import render_beauty_mega
 
@@ -279,6 +269,26 @@ class Renderer:
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)
         return acc
+
+    def _resolve_engine(self) -> str:
+        """Pick the bounce-loop engine. 'auto' takes the phase-compacted
+        megakernel on TPU with the cluster backend (showcase 256^2@8:
+        1.07 vs 0.63 Mpaths/s, NOTES.md round-2 log); the wavefront XLA
+        loop remains the portable engine and the only one for the
+        threaded BVH."""
+        from .kernels.pallas_trace import DeviceClusterGrid
+
+        engine = self.options.engine
+        is_cluster = isinstance(self.bvh, DeviceClusterGrid)
+        if engine == "auto":
+            return (
+                "mega"
+                if jax.default_backend() == "tpu" and is_cluster
+                else "wavefront"
+            )
+        if engine == "mega" and not is_cluster:
+            raise ValueError("--engine mega requires --backend cluster")
+        return engine
 
     def _render_fingerprint(self) -> str:
         """Identity of the accumulation this checkpoint belongs to: acc is

@@ -108,3 +108,32 @@ def test_sharded_chunked_renderer_matches_single(setup):
     single = Renderer(base, dataclasses.replace(opt, shard="none")).render()
     sharded = Renderer(base, dataclasses.replace(opt, shard="auto")).render()
     np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_tile_sharded_mega_engine(setup):
+    """The fused megakernel under shard_map (interpreter mode) matches its
+    own single-device render bit-for-bit: sharding only partitions rows."""
+    from complex_materials_renderer_tpu.accel.clusters import build_clusters
+    from complex_materials_renderer_tpu.kernels.pallas_trace import (
+        device_cluster_grid,
+    )
+    from complex_materials_renderer_tpu.render.megarender import (
+        render_beauty_mega,
+    )
+
+    tris, mats, media = make_test_scene()
+    scene, _ = assemble(tris, mats, media)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    cam, lights = fixture_camera(), fixture_lights()
+    ref = np.asarray(
+        render_beauty_mega(cam, scene, grid, lights, (16, 16), 1, **kw)
+    )
+    img = np.asarray(
+        render_beauty_sharded(
+            cam, scene, grid, lights, (16, 16), 1,
+            mesh=make_render_mesh(), engine="mega", **kw,
+        )
+    )
+    np.testing.assert_array_equal(ref, img)

@@ -6,6 +6,7 @@ Prints Mpaths/s for each engine on the same render config.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -24,9 +25,10 @@ def main() -> None:
 
     import jax
 
+    engines = os.environ.get("CMR_AB_ENGINES", "wavefront,mega").split(",")
     results = {}
     imgs = {}
-    for engine in ("wavefront", "mega"):
+    for engine in engines:
         opt = RenderOptions()
         opt.obj_path = scene_path
         opt.width = opt.height = res
@@ -46,11 +48,12 @@ def main() -> None:
         imgs[engine] = np.asarray(img)
         print(f"{engine}: {results[engine]:.3f} Mpaths/s  ({dt:.2f}s)", flush=True)
 
-    diff = np.abs(imgs["wavefront"] - imgs["mega"])
-    print(
-        f"image max|diff|={diff.max():.3e} mean={diff.mean():.3e} "
-        f"(means {imgs['wavefront'].mean():.4f} vs {imgs['mega'].mean():.4f})"
-    )
+    if len(imgs) == 2:
+        diff = np.abs(imgs["wavefront"] - imgs["mega"])
+        print(
+            f"image max|diff|={diff.max():.3e} mean={diff.mean():.3e} "
+            f"(means {imgs['wavefront'].mean():.4f} vs {imgs['mega'].mean():.4f})"
+        )
 
 
 if __name__ == "__main__":
