@@ -56,7 +56,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel.clusters import SUPER_FACTOR
+from ..accel.clusters import SUB_SIZE, SUPER_FACTOR
 from .pallas_trace import DeviceClusterGrid
 
 BLOCK = 1024  # lanes per (8, 128) register tile
@@ -305,6 +305,7 @@ def _make_kernel(
     def kernel(
         cb_ref,  # SMEM (C, 8) cluster AABBs
         sb_ref,  # SMEM (S, 8) super AABBs
+        subb_ref,  # SMEM (C*subs, 8) in-cluster sub-group AABBs
         media_ref,  # SMEM (max(M,1), 9): matid, ss rgb (scaled), sa rgb (scaled), g_mean, ior
         misc_ref,  # SMEM (8,): light pos xyz, light intensity rgb, pad
         v0x_ref, v0y_ref, v0z_ref, e1x_ref, e1y_ref, e1z_ref,
@@ -401,7 +402,6 @@ def _make_kernel(
                 return state[K_NEE - 1] if payload == "nee" else state[0]
 
             def test_cluster(c, state):
-                t_best = bound_of(state)
                 a_x = v0x_ref[c]
                 a_y = v0y_ref[c]
                 a_z = v0z_ref[c]
@@ -413,14 +413,9 @@ def _make_kernel(
                 g2z = e2z_ref[c]
                 m_row = mat_ref[c]
                 base_slot = (c * width).astype(jnp.float32)
-
-                if payload == "nee":
-                    ts = list(state[:K_NEE])
-                    ms = list(state[K_NEE:])
-                else:
-                    rest = list(state[1:])
                 eps = jnp.float32(1e-6)
-                for j in range(width):
+
+                def tri_step(j, state):
                     ax = a_x[j]
                     ay = a_y[j]
                     az = a_z[j]
@@ -452,6 +447,8 @@ def _make_kernel(
                         # Sorted insertion into the K nearest-hit list:
                         # bubble (cand_t, cand_m) down; each slot costs a
                         # compare + min/max + two selects.
+                        ts = list(state[:K_NEE])
+                        ms = list(state[K_NEE:])
                         valid = (
                             (uu >= -eps)
                             & (vv >= -eps)
@@ -469,7 +466,8 @@ def _make_kernel(
                             ms[i] = jnp.where(lt, cand_m, old_m)
                             cand_t = jnp.maximum(cand_t, old_t)
                             cand_m = jnp.where(lt, old_m, cand_m)
-                        continue
+                        return tuple(ts) + tuple(ms)
+                    t_best = state[0]
                     improved = (
                         (uu >= -eps)
                         & (vv >= -eps)
@@ -479,7 +477,7 @@ def _make_kernel(
                     )
                     t_best = jnp.where(improved, tt, t_best)
                     if payload == "full":
-                        (slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = rest
+                        (_, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = state
                         slot = jnp.where(improved, base_slot + j, slot)
                         ub = jnp.where(improved, uu, ub)
                         vb = jnp.where(improved, vv, vb)
@@ -490,20 +488,41 @@ def _make_kernel(
                         pxb = jnp.where(improved, ax + uu * e1xj + vv * e2xj, pxb)
                         pyb = jnp.where(improved, ay + uu * e1yj + vv * e2yj, pyb)
                         pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
-                        rest = [slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb]
-                    elif payload == "nee":
-                        (slot, mb) = rest
-                        slot = jnp.where(improved, base_slot + j, slot)
-                        mb = jnp.where(improved, m_row[j], mb)
-                        rest = [slot, mb]
-                    else:
-                        (slot,) = rest
-                        slot = jnp.where(improved, base_slot + j, slot)
-                        rest = [slot]
+                        return (t_best, slot, ub, vb, nxb, nyb, nzb, mb,
+                                pxb, pyb, pzb)
+                    (_, slot) = state
+                    slot = jnp.where(improved, base_slot + j, slot)
+                    return (t_best, slot)
 
-                if payload == "nee":
-                    return tuple(ts) + tuple(ms)
-                return (t_best, *rest)
+                # In-cluster sub-group culling: the unrolled triangle loop
+                # is chunked into SUB_SIZE-triangle runs, each gated by a
+                # scalar AABB test against its (C*subs, 8) SMEM box — a
+                # third culling level below super/cluster that the static
+                # unroll can actually skip (Pallas scalar lax.cond).
+                # Measured SLOWER on the 11-cluster showcase (1.10 vs 1.36
+                # Mpaths/s: the per-run cond + slab overhead beats the
+                # skipped triangle tests), so opt-in via CMR_MEGA_DEBUG=sub
+                # pending a win on large scenes.
+                if "sub" not in debug or width <= SUB_SIZE:
+                    for j in range(width):
+                        state = tri_step(j, state)
+                    return state
+                nsub = width // SUB_SIZE
+                for g in range(nsub):
+                    lo_j = g * SUB_SIZE
+                    hi_j = min(width, lo_j + SUB_SIZE)
+
+                    def chunk(st, lo_j=lo_j, hi_j=hi_j):
+                        for j in range(lo_j, hi_j):
+                            st = tri_step(j, st)
+                        return st
+
+                    e = slab_entry_min(
+                        subb_ref, c * nsub + g, OX, OY, OZ, IX, IY, IZ,
+                        bound_of(state),
+                    )
+                    state = jax.lax.cond(e < _INF, chunk, lambda s: s, state)
+                return state
 
             def visit_super(sp, state):
                 lo = sp * SUPER_FACTOR
@@ -1076,11 +1095,13 @@ def trace_paths_mega(
     u32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.uint32)
     i32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.int32)
 
+    n_sub_rows = grid.sub_bounds.shape[0]
     outs = pl.pallas_call(
         kernel,
         in_specs=[
             smem((C, 8)),
             smem((S, 8)),
+            smem((n_sub_rows, 8)),
             smem((M, 9)),
             smem((8,)),
         ] + [vmem()] * 25,
@@ -1088,7 +1109,7 @@ def trace_paths_mega(
         out_shape=[f32] * 12 + [u32, i32, i32],
         interpret=grid.interpret,
     )(
-        grid.bounds, grid.super_bounds, media9, misc,
+        grid.bounds, grid.super_bounds, grid.sub_bounds, media9, misc,
         grid.v0x, grid.v0y, grid.v0z,
         grid.e1x, grid.e1y, grid.e1z,
         grid.e2x, grid.e2y, grid.e2z,

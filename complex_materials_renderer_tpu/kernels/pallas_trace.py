@@ -44,7 +44,7 @@ BLOCK_RAYS = 1024  # 8 sublanes x 128 lanes
     jax.tree_util.register_dataclass,
     data_fields=[
         "v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
-        "bounds", "super_bounds", "tri_index", "mat",
+        "bounds", "super_bounds", "sub_bounds", "tri_index", "mat",
     ],
     meta_fields=["num_clusters", "num_supers", "interpret"],
 )
@@ -61,6 +61,7 @@ class DeviceClusterGrid:
     e2z: jnp.ndarray
     bounds: jnp.ndarray  # (C, 8) SMEM-bound cluster AABBs
     super_bounds: jnp.ndarray  # (S, 8) SMEM-bound super-cluster AABBs
+    sub_bounds: jnp.ndarray  # (C*subs, 8) in-cluster sub-group AABBs
     tri_index: jnp.ndarray  # (C*128,) slot -> original triangle id
     mat: jnp.ndarray  # (C, 128) per-slot material id (float32 on device)
     num_clusters: int
@@ -87,6 +88,7 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         e2x=jnp.asarray(grid.e2x), e2y=jnp.asarray(grid.e2y), e2z=jnp.asarray(grid.e2z),
         bounds=jnp.asarray(grid.bounds),
         super_bounds=jnp.asarray(grid.super_bounds),
+        sub_bounds=jnp.asarray(grid.sub_bounds),
         tri_index=jnp.asarray(grid.tri_index),
         # Material ids ride as float32 so every update is a same-type
         # vector select; ids are small ints, exactly representable.

@@ -65,9 +65,12 @@ def _tile_perm(width: int, height: int):
 
 def _phase_schedule(rp: int, max_depth: int):
     """(lane_width, bounce_cap) pairs. Widths follow the measured wavefront
-    decay (NOTES.md: ~1/4 of lanes live after 3 bounces, ~1/16 after 6);
-    the last phase runs to termination (cap = max_depth — depth grows
-    every iteration, so that equals 'until dead').
+    decay (NOTES.md: ~45% of lanes die per early bounce), and the swept
+    optimum sorts/shrinks EVERY bounce while the wavefront is wide — the
+    coherence restored by each sort is worth more than the sort costs
+    (showcase 256^2@8: 1.37 vs 1.07 Mpaths/s for 3-bounce phases). The
+    last phase runs to termination (cap = max_depth — depth grows every
+    iteration, so that equals 'until dead').
 
     CMR_MEGA_SCHED="div:cap,div:cap,..." overrides for tuning runs
     (div = lane-width divisor)."""
@@ -80,7 +83,10 @@ def _phase_schedule(rp: int, max_depth: int):
             for d, c in (p.split(":") for p in env.split(","))
         ]
     else:
-        raw = [(rp, 3), (rp // 4, 3), (rp // 16, 4), (rp // 64, max_depth)]
+        raw = [
+            (rp, 1), (rp // 2, 1), (rp // 4, 1), (rp // 8, 1),
+            (rp // 16, 2), (rp // 32, 2), (rp // 64, max_depth),
+        ]
     sched = []
     for w, cap in raw:
         w = max(BLOCK, -(-w // BLOCK) * BLOCK)
