@@ -18,7 +18,6 @@ history (volpath.comp.glsl:580-798 per-thread workload).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time
@@ -29,10 +28,7 @@ TARGET_MPATHS = 50.0  # BASELINE.json north-star, v5e
 
 
 def _bench_scene(obj_path, width, height, samples, warm_samples=None):
-    from complex_materials_renderer_tpu.renderer import (
-        Renderer,
-        _auto_sample_chunk,
-    )
+    from complex_materials_renderer_tpu.renderer import Renderer
     from complex_materials_renderer_tpu.config import RenderOptions
     from complex_materials_renderer_tpu.scene import load_scene
 
@@ -46,12 +42,10 @@ def _bench_scene(obj_path, width, height, samples, warm_samples=None):
     scene = load_scene(opt.obj_path, opt)
     renderer = Renderer(scene, scene.options)
 
-    # Warmup/compile both pass signatures (fresh-seed and carried-RNG)
-    # with the same auto pass shape the timed render uses.
-    auto_chunk = min(_auto_sample_chunk(width, height), samples)
-    warm = warm_samples if warm_samples is not None else 2 * auto_chunk
-    warm_opt = dataclasses.replace(scene.options, num_samples=warm)
-    Renderer(scene, warm_opt).render()
+    # Warm with the EXACT timed configuration: any difference (even the
+    # sample-chunk scan length) is a different jit signature and the
+    # recompile would land in the timed region.
+    renderer.render()
 
     t0 = time.perf_counter()
     img = renderer.render()

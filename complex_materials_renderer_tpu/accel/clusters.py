@@ -1,4 +1,4 @@
-"""Morton-ordered triangle clusters — the acceleration structure for the
+"""Spatially clustered triangle grid — the acceleration structure for the
 Pallas tracer.
 
 Rationale (why not the BVH on TPU): XLA per-lane gathers execute at about
@@ -8,7 +8,7 @@ threaded, stack-free one — is catastrophically memory-serial (measured
 wants dynamic indexing only on non-lane dimensions. This structure is
 shaped for exactly that:
 
-- triangles are sorted by the Morton code of their centroid and packed
+- triangles are ordered by a longest-axis median-split tree and packed
   into clusters of 128 (one full lane vector each);
 - each cluster carries an AABB; traversal is: cull cluster (scalar test,
   real branch via pl.when), then test the cluster's 128 triangles against
@@ -57,18 +57,36 @@ SUPER_FACTOR = 16  # clusters per super-cluster (second culling level)
 SUB_SIZE = 16  # triangles per sub-group (third, in-cluster culling level)
 
 
-def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
-    """Interleave 10-bit quantized coordinates into 30-bit Morton codes."""
+def _median_split_order(centroids: np.ndarray, cluster_size: int) -> np.ndarray:
+    """Triangle order from a longest-axis median-split tree (leaves =
+    clusters, emitted depth-first).
 
-    def spread(v):
-        v = v.astype(np.uint64)
-        v = (v | (v << 16)) & np.uint64(0x030000FF)
-        v = (v | (v << 8)) & np.uint64(0x0300F00F)
-        v = (v | (v << 4)) & np.uint64(0x030C30C3)
-        v = (v | (v << 2)) & np.uint64(0x09249249)
-        return v
-
-    return (spread(x) << np.uint64(2)) | (spread(y) << np.uint64(1)) | spread(z)
+    Replaces plain Morton-code sorting: Morton runs of 128 triangles can
+    straddle cell boundaries and produce heavily overlapping cluster
+    AABBs; recursive median splits partition space so sibling clusters
+    overlap minimally and the depth-first leaf order keeps the
+    super-cluster grouping spatially tight. O(n log^2 n) in numpy."""
+    n = centroids.shape[0]
+    out = np.empty(n, np.int32)
+    pos = 0
+    stack = [np.arange(n, dtype=np.int32)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= cluster_size:
+            out[pos : pos + len(idx)] = idx
+            pos += len(idx)
+            continue
+        c = centroids[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        # Split at a cluster-size multiple so every leaf except the last
+        # fills a whole cluster (no half-empty 128-wide unrolls).
+        half = len(idx) // 2
+        mid = max(cluster_size, (half // cluster_size) * cluster_size)
+        part = np.argsort(c[:, axis], kind="stable")
+        stack.append(idx[part[mid:]])
+        stack.append(idx[part[:mid]])
+    assert pos == n
+    return out
 
 
 def _split_oversized(
@@ -141,12 +159,7 @@ def build_clusters(
         num_tris = tris.shape[0]
 
     centroids = tris.mean(axis=1)
-    lo = centroids.min(axis=0)
-    hi = centroids.max(axis=0)
-    extent = np.maximum(hi - lo, 1e-12)
-    q = np.clip(((centroids - lo) / extent) * 1023.0, 0, 1023).astype(np.uint32)
-    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
-    order = np.argsort(codes, kind="stable").astype(np.int32)
+    order = _median_split_order(centroids, cluster_size)
 
     num_clusters = -(-num_tris // cluster_size)
     slots = num_clusters * cluster_size

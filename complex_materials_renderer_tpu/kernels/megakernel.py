@@ -1083,10 +1083,19 @@ def trace_paths_mega(
 
     import os as _os
 
+    debug = _os.environ.get("CMR_MEGA_DEBUG", "")
     kernel = _make_kernel(
         C, S, width, M, blocks, background, max_depth, rr_depth,
         nee_max_media, tir_kill, 1e-4, 1e4, max_iters,
-        debug=_os.environ.get("CMR_MEGA_DEBUG", ""),
+        debug=debug,
+    )
+    # The sub-group AABB table lives in SMEM (~1 MB total); only ship it
+    # when sub-culling is actually enabled — at 8 rows per cluster it
+    # overflows SMEM for large scenes (cup: 2584 rows) otherwise.
+    sub_arr = (
+        grid.sub_bounds
+        if ("sub" in debug and width > 16)
+        else jnp.zeros((1, 8), jnp.float32)
     )
 
     smem = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape), memory_space=pltpu.SMEM)
@@ -1095,7 +1104,7 @@ def trace_paths_mega(
     u32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.uint32)
     i32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.int32)
 
-    n_sub_rows = grid.sub_bounds.shape[0]
+    n_sub_rows = sub_arr.shape[0]
     outs = pl.pallas_call(
         kernel,
         in_specs=[
@@ -1109,7 +1118,7 @@ def trace_paths_mega(
         out_shape=[f32] * 12 + [u32, i32, i32],
         interpret=grid.interpret,
     )(
-        grid.bounds, grid.super_bounds, grid.sub_bounds, media9, misc,
+        grid.bounds, grid.super_bounds, sub_arr, media9, misc,
         grid.v0x, grid.v0y, grid.v0z,
         grid.e1x, grid.e1y, grid.e1z,
         grid.e2x, grid.e2y, grid.e2z,
