@@ -305,9 +305,10 @@ def _make_kernel(
     def kernel(
         cb_ref,  # SMEM (C, 8) cluster AABBs
         sb_ref,  # SMEM (S, 8) super AABBs
-        subb_ref,  # SMEM (C*subs, 8) in-cluster sub-group AABBs
+        subb_ref,  # VMEM (C, subs*8) in-cluster sub-group AABB rows
         media_ref,  # SMEM (max(M,1), 9): matid, ss rgb (scaled), sa rgb (scaled), g_mean, ior
-        misc_ref,  # SMEM (8,): light pos xyz, light intensity rgb, pad
+        misc_ref,  # SMEM (16,): light pos/intensity, pads, scene AABB lo/hi
+        lb_ref,  # SMEM (1,) int32: number of leading blocks to process
         v0x_ref, v0y_ref, v0z_ref, e1x_ref, e1y_ref, e1z_ref,
         e2x_ref, e2y_ref, e2z_ref, mat_ref,  # VMEM (C, width)
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM (B*8, 128)
@@ -347,24 +348,33 @@ def _make_kernel(
         lig = misc_ref[4]
         lib = misc_ref[5]
 
-        def slab_entry_min(ref, idx, OX, OY, OZ, IX, IY, IZ, TMAX):
+        def slab_entry_scalars(
+            bx0, by0, bz0, bx1, by1, bz1, OX, OY, OZ, IX, IY, IZ, TMAX
+        ):
             """Min-over-lanes ray/AABB entry distance (scalar); _INF when no
             live lane's segment [t_min, TMAX] intersects the box."""
-            s0 = (ref[idx, 0] - OX) * IX
-            s1 = (ref[idx, 3] - OX) * IX
+            s0 = (bx0 - OX) * IX
+            s1 = (bx1 - OX) * IX
             tn = jnp.minimum(s0, s1)
             tf = jnp.maximum(s0, s1)
-            s0 = (ref[idx, 1] - OY) * IY
-            s1 = (ref[idx, 4] - OY) * IY
+            s0 = (by0 - OY) * IY
+            s1 = (by1 - OY) * IY
             tn = jnp.maximum(tn, jnp.minimum(s0, s1))
             tf = jnp.minimum(tf, jnp.maximum(s0, s1))
-            s0 = (ref[idx, 2] - OZ) * IZ
-            s1 = (ref[idx, 5] - OZ) * IZ
+            s0 = (bz0 - OZ) * IZ
+            s1 = (bz1 - OZ) * IZ
             tn = jnp.maximum(tn, jnp.minimum(s0, s1))
             tf = jnp.minimum(tf, jnp.maximum(s0, s1))
             tn = jnp.maximum(tn, t_min)
             tf = jnp.minimum(tf, TMAX)
             return jnp.min(jnp.where(tn <= tf, tn, _INF))
+
+        def slab_entry_min(ref, idx, OX, OY, OZ, IX, IY, IZ, TMAX):
+            return slab_entry_scalars(
+                ref[idx, 0], ref[idx, 1], ref[idx, 2],
+                ref[idx, 3], ref[idx, 4], ref[idx, 5],
+                OX, OY, OZ, IX, IY, IZ, TMAX,
+            )
 
         K_NEE = 2 * nee_max_media  # tracked hits in the NEE multi-hit sweep
 
@@ -386,6 +396,27 @@ def _make_kernel(
             IX, IY, IZ = _safe_inv(DX), _safe_inv(DY), _safe_inv(DZ)
             zeros = jnp.zeros_like(OX)
             neg1 = jnp.full_like(OX, -1.0)
+
+            if payload != "nee":
+                # Clamp the walk bound to the scene-box exit: all geometry
+                # lives inside it, so a lane that misses everything stops
+                # forcing cluster visits at the box boundary instead of
+                # carrying t_best = 1e4 along its whole ray. (The NEE
+                # sweep's bound is already the light distance, and its
+                # miss sentinel must stay == the caller's eff.)
+                def axis_exit(lo_i, hi_i, O, INV):
+                    return jnp.maximum(
+                        (misc_ref[lo_i] - O) * INV, (misc_ref[hi_i] - O) * INV
+                    )
+
+                tf = _min3(
+                    axis_exit(8, 11, OX, IX),
+                    axis_exit(9, 12, OY, IY),
+                    axis_exit(10, 13, OZ, IZ),
+                )
+                TMAX = jnp.minimum(
+                    TMAX, jnp.maximum(tf, 0.0) * 1.0001 + 10.0 * t_min
+                )
 
             if payload == "full":
                 state0 = (TMAX, neg1, zeros, zeros, zeros, zeros,
@@ -508,6 +539,7 @@ def _make_kernel(
                         state = tri_step(j, state)
                     return state
                 nsub = width // SUB_SIZE
+                sub_row = subb_ref[c]  # (nsub*8,) VMEM row, static extracts
                 for g in range(nsub):
                     lo_j = g * SUB_SIZE
                     hi_j = min(width, lo_j + SUB_SIZE)
@@ -517,9 +549,11 @@ def _make_kernel(
                             st = tri_step(j, st)
                         return st
 
-                    e = slab_entry_min(
-                        subb_ref, c * nsub + g, OX, OY, OZ, IX, IY, IZ,
-                        bound_of(state),
+                    e = slab_entry_scalars(
+                        sub_row[g * 8 + 0], sub_row[g * 8 + 1],
+                        sub_row[g * 8 + 2], sub_row[g * 8 + 3],
+                        sub_row[g * 8 + 4], sub_row[g * 8 + 5],
+                        OX, OY, OZ, IX, IY, IZ, bound_of(state),
                     )
                     state = jax.lax.cond(e < _INF, chunk, lambda s: s, state)
                 return state
@@ -981,7 +1015,12 @@ def _make_kernel(
             alive_o[sl, :] = st[14]
             return 0
 
-        jax.lax.fori_loop(0, num_blocks, block_body, 0)
+        # Only the leading lb_ref[0] blocks are processed — the caller
+        # keeps live lanes sorted first, and state inputs are aliased to
+        # outputs so skipped (all-dead) blocks pass through untouched.
+        jax.lax.fori_loop(
+            0, jnp.minimum(lb_ref[0], num_blocks), block_body, 0
+        )
 
     return kernel
 
@@ -1030,6 +1069,7 @@ def trace_paths_mega(
     nee_max_media: int = 4,
     tir_kill: bool = False,
     max_iters: int | None = None,
+    live_blocks: jnp.ndarray | None = None,
 ) -> MegaState:
     """Advance R paths up to ``max_iters`` bounce iterations in ONE kernel.
 
@@ -1038,6 +1078,12 @@ def trace_paths_mega(
     reference's per-thread loop. A smaller cap returns the mid-flight
     state so the caller can compact the wavefront and continue on a
     narrower lane set (megarender's phase schedule).
+
+    ``live_blocks`` (traced int32 scalar) bounds the kernel to the
+    leading blocks; lanes beyond pass through untouched (state I/O is
+    aliased). With live lanes sorted first this gives dynamic-width
+    phases from ONE compiled kernel — shrinking the lane arrays instead
+    would compile a separate kernel per width.
 
     Lanes should arrive spatially sorted (the caller tiles pixels into
     32x32 blocks) so each 1024-lane block shares traversal work. R is
@@ -1089,14 +1135,15 @@ def trace_paths_mega(
         nee_max_media, tir_kill, 1e-4, 1e4, max_iters,
         debug=debug,
     )
-    # The sub-group AABB table lives in SMEM (~1 MB total); only ship it
-    # when sub-culling is actually enabled — at 8 rows per cluster it
-    # overflows SMEM for large scenes (cup: 2584 rows) otherwise.
-    sub_arr = (
-        grid.sub_bounds
-        if ("sub" in debug and width > 16)
-        else jnp.zeros((1, 8), jnp.float32)
-    )
+    # The sub-group AABB table rides in VMEM as one (nsub*8,) row per
+    # cluster (static scalar extracts, like the triangle rows — SMEM's
+    # ~1MB scalar budget can't hold it for large scenes). Only shipped
+    # when sub-culling is enabled.
+    if "sub" in debug and width > 16:
+        nsub = width // 16
+        sub_arr = grid.sub_bounds.reshape(C, nsub * 8)
+    else:
+        sub_arr = jnp.zeros((1, 8), jnp.float32)
 
     smem = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape), memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1104,21 +1151,29 @@ def trace_paths_mega(
     u32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.uint32)
     i32 = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.int32)
 
-    n_sub_rows = sub_arr.shape[0]
+    if live_blocks is None:
+        lb = jnp.full((1,), blocks, jnp.int32)
+    else:
+        lb = jnp.asarray(live_blocks, jnp.int32).reshape(1)
+
     outs = pl.pallas_call(
         kernel,
         in_specs=[
             smem((C, 8)),
             smem((S, 8)),
-            smem((n_sub_rows, 8)),
+            vmem(),  # sub-group AABB rows
             smem((M, 9)),
-            smem((8,)),
+            smem((16,)),
+            smem((1,)),
         ] + [vmem()] * 25,
         out_specs=[vmem()] * 15,
         out_shape=[f32] * 12 + [u32, i32, i32],
+        # State streams through; blocks beyond live_blocks keep their
+        # input values in place.
+        input_output_aliases={16 + i: i for i in range(15)},
         interpret=grid.interpret,
     )(
-        grid.bounds, grid.super_bounds, sub_arr, media9, misc,
+        grid.bounds, grid.super_bounds, sub_arr, media9, misc, lb,
         grid.v0x, grid.v0y, grid.v0z,
         grid.e1x, grid.e1y, grid.e1z,
         grid.e2x, grid.e2y, grid.e2z,
@@ -1164,12 +1219,16 @@ def pack_media(media, scale) -> jnp.ndarray:
     return rows
 
 
-def pack_misc(lights) -> jnp.ndarray:
-    """Light position + intensity as the kernel's (8,) SMEM row."""
+def pack_misc(lights, world_lo, world_hi) -> jnp.ndarray:
+    """Light position + intensity + scene AABB as the kernel's (16,) SMEM
+    row: [light xyz, intensity rgb, pad, pad, lo xyz, hi xyz, pad, pad]."""
     return jnp.concatenate(
         [
             jnp.asarray(lights.position, jnp.float32),
             jnp.asarray(lights.intensity, jnp.float32),
+            jnp.zeros(2, jnp.float32),
+            jnp.asarray(world_lo, jnp.float32),
+            jnp.asarray(world_hi, jnp.float32),
             jnp.zeros(2, jnp.float32),
         ]
     )

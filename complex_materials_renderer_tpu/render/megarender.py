@@ -132,7 +132,15 @@ def _partition_live(state: MegaState, lane: jnp.ndarray, scene):
         + (state.dir[:, 1] > 0).astype(jnp.uint32) * jnp.uint32(2)
         + (state.dir[:, 2] > 0).astype(jnp.uint32)
     )
-    key = (octant << jnp.uint32(15)) | cell
+    import os
+
+    if os.environ.get("CMR_MEGA_SORTKEY", "dir") == "pos":
+        # Position-major: a block's lanes share a spatial cell (mixed
+        # directions). Wins when expected hit distances are short (dense
+        # interiors), where the block's cluster footprint is the cost.
+        key = (cell << jnp.uint32(3)) | octant
+    else:
+        key = (octant << jnp.uint32(15)) | cell
     key = jnp.where(state.alive, key, jnp.uint32(0xFFFFFFFF))
     perm = jnp.argsort(key)
     take = lambda x: jnp.take(x, perm, axis=0)
@@ -198,8 +206,22 @@ def render_beauty_mega(
     pixel_xy_t = jnp.take(pixel_xy, perm, axis=0)
     linear_t = jnp.take(linear, perm, axis=0)
 
+    import os
+
     media9 = pack_media(scene.media, scene.scale)
-    misc = pack_misc(lights)
+    misc = pack_misc(lights, scene.world_lo, scene.world_hi)
+    # off = static per-width phase schedule (fastest steady-state on
+    # typical scenes — showcase 1.37 vs 0.89/0.69 Mpaths/s — but one
+    # Mosaic compile per width, ~7x the compile time); hybrid = dynamic
+    # live_blocks with 8 per-bounce sorts then a to-death tail (2
+    # compiles); all = sort every bounce to death (1 compile — and the
+    # fastest measured mode on large deep-path scenes: cup 0.117 vs
+    # 0.095). auto picks by scene size.
+    dynamic = os.environ.get("CMR_MEGA_DYN", "auto")
+    if dynamic == "1":
+        dynamic = "all"
+    if dynamic == "auto":
+        dynamic = "all" if grid.num_clusters > 128 else "off"
     sched = _phase_schedule(rp, max_depth)
 
     kern = partial(
@@ -247,6 +269,51 @@ def render_beauty_mega(
         # Banked results, indexed by lane id (+1 spill row for pads).
         rad_bank = jnp.zeros((r + 1, 3), jnp.float32)
         rng_bank = jnp.zeros((r + 1,), jnp.uint32)
+
+        if dynamic != "off":
+            # Dynamic-width modes: lane arrays keep their full shape and
+            # the kernel is bounded to the live leading blocks by a traced
+            # scalar (live_blocks), so only 1-2 kernels compile instead of
+            # one per static phase width (minutes of Mosaic compile each
+            # through the tunnel).
+            def live_blocks_of(st):
+                return (
+                    jnp.sum(st.alive.astype(jnp.int32)) + (BLOCK - 1)
+                ) // BLOCK
+
+            def sorted_bounce(c):
+                st, lane = c
+                st, lane = _partition_live(st, lane, scene)
+                st = kern(st, max_iters=1, live_blocks=live_blocks_of(st))
+                return st, lane
+
+            if dynamic == "all":
+                # Sort + single bounce until every lane dies.
+                state, lane = jax.lax.while_loop(
+                    lambda c: jnp.any(c[0].alive), sorted_bounce, (state, lane)
+                )
+            else:  # "hybrid"
+                # Sort every bounce while the wavefront is wide (the
+                # measured optimum), then run the straggler tail to
+                # termination inside one kernel call.
+                for _ in range(8):
+                    state, lane = jax.lax.cond(
+                        jnp.any(state.alive),
+                        sorted_bounce,
+                        lambda c: c,
+                        (state, lane),
+                    )
+                state, lane = _partition_live(state, lane, scene)
+                state = kern(
+                    state,
+                    max_iters=max_depth,
+                    live_blocks=live_blocks_of(state),
+                )
+            rad_bank = rad_bank.at[lane].set(state.rad)
+            rng_bank = rng_bank.at[lane].set(state.rng)
+            rad_t = rad_bank[:r]
+            rng_t = rng_bank[:r]
+            return (rng_t, acc + rad_t), None
 
         for i, (w, cap) in enumerate(sched):
             if i == 0:

@@ -71,7 +71,7 @@ def main() -> None:
     org, d = generate_rays(camera, pixel_xy, jnp.stack([j1, j2], -1), (res, res))
 
     media9 = mk.pack_media(arrays.media, arrays.scale)
-    misc = mk.pack_misc(lights)
+    misc = mk.pack_misc(lights, arrays.world_lo, arrays.world_hi)
 
     def timed(label, max_iters, debug, chain=1):
         """Time ``chain`` state-chained kernel calls inside ONE jit (the
