@@ -47,6 +47,13 @@ class ClusterGrid(NamedTuple):
     sub_bounds: np.ndarray  # (C * subs_per_cluster, 8) AABBs over SUB_SIZE-tri runs
     tri_index: np.ndarray  # (C*128,) original triangle id per slot; -1 = pad
     mat_id: np.ndarray  # (C, 128) per-slot material id; -1 on pad slots
+    # Opaque/media segregation (0 when unpartitioned): clusters/supers
+    # [0, num_opaque_*) hold only medium-less triangles, the rest only
+    # medium-bearing ones. The NEE shadow sweep then runs a cheap
+    # closest-hit occlusion walk over the opaque range and the K-list
+    # boundary collection over the media range only.
+    num_opaque_clusters: int = 0
+    num_opaque_supers: int = 0
 
     @property
     def num_clusters(self) -> int:
@@ -135,6 +142,7 @@ def build_clusters(
     mat_ids: np.ndarray | None = None,
     cluster_size: int = CLUSTER_SIZE,
     split_frac: float = 0.0,
+    media_mats=None,
 ) -> ClusterGrid:
     """Build a ClusterGrid over ``triangles`` of shape (T, 3, 3).
 
@@ -147,6 +155,11 @@ def build_clusters(
     _split_oversized). Splitting remaps u/v to the sub-triangle, so the
     renderer enables it for beauty passes only (hit positions, normals,
     materials and distances are plane-exact either way).
+
+    ``media_mats`` (iterable of mat ids bearing media) partitions the
+    grid: opaque-only clusters first (super-aligned), media-bearing ones
+    after, so the NEE sweep can run a cheap occlusion walk over the
+    opaque range and boundary collection over the media range only.
     """
     tris = np.asarray(triangles, np.float32)
     num_tris = tris.shape[0]
@@ -159,28 +172,65 @@ def build_clusters(
         num_tris = tris.shape[0]
 
     centroids = tris.mean(axis=1)
-    order = _median_split_order(centroids, cluster_size)
+    tri_mats = (
+        np.asarray(mat_ids, np.int32)[orig_index]
+        if mat_ids is not None
+        else np.zeros(num_tris, np.int32)
+    )
 
-    num_clusters = -(-num_tris // cluster_size)
-    slots = num_clusters * cluster_size
-
-    tri_index = np.full(slots, -1, np.int32)
-    tri_index[:num_tris] = orig_index[order]  # slot -> ORIGINAL triangle id
-
-    mats = np.full(slots, -1, np.int32)
-    if mat_ids is not None:
-        mats[:num_tris] = np.asarray(mat_ids, np.int32)[orig_index[order]]
+    media_list = sorted(set(int(m) for m in media_mats)) if media_mats else []
+    if media_list:
+        is_med = np.isin(tri_mats, np.asarray(media_list, np.int32))
+        group_idx = [
+            np.where(~is_med)[0].astype(np.int32),
+            np.where(is_med)[0].astype(np.int32),
+        ]
     else:
-        mats[:num_tris] = 0
+        group_idx = [np.arange(num_tris, dtype=np.int32)]
+
+    partitioned = len(group_idx) == 2 and all(len(g) for g in group_idx)
+    streams = []
+    cluster_counts = []
+    for gi, idx in enumerate(group_idx):
+        if len(idx) == 0:
+            cluster_counts.append(0)
+            continue
+        order_g = _median_split_order(centroids[idx], cluster_size)
+        ids = idx[order_g]
+        cg = -(-len(ids) // cluster_size)
+        if partitioned and gi == 0:
+            # Pad the opaque range to a whole number of super-clusters so
+            # the media range starts on a super boundary.
+            cg = -(-cg // SUPER_FACTOR) * SUPER_FACTOR
+        stream = np.full(cg * cluster_size, -1, np.int32)
+        stream[: len(ids)] = ids
+        streams.append(stream)
+        cluster_counts.append(cg)
+    slot_ids = np.concatenate(streams)
+    num_clusters = sum(cluster_counts)
+    slots = num_clusters * cluster_size
+    num_opaque_clusters = cluster_counts[0] if partitioned else 0
+    num_opaque_supers = (
+        num_opaque_clusters // SUPER_FACTOR if partitioned else 0
+    )
+
+    valid = slot_ids >= 0
+    safe = np.maximum(slot_ids, 0)
+    tri_index = np.where(valid, orig_index[safe], -1).astype(np.int32)
+    mats = np.where(valid, tri_mats[safe], -1).astype(np.int32)
 
     packed = np.zeros((slots, 3, 3), np.float32)
-    packed[:num_tris] = tris[order]
+    packed[valid] = tris[slot_ids[valid]]
 
     comp = packed.reshape(num_clusters, cluster_size, 3, 3)
 
     bounds = np.zeros((num_clusters, 8), np.float32)
+    bounds[:, 0:3] = np.float32(1e30)  # empty pad clusters never intersect
+    bounds[:, 3:6] = np.float32(-1e30)
     for c in range(num_clusters):
         real = tri_index[c * cluster_size : (c + 1) * cluster_size] >= 0
+        if not np.any(real):
+            continue
         member = comp[c][real]  # (n, 3, 3)
         bounds[c, 0:3] = member.min(axis=(0, 1))
         bounds[c, 3:6] = member.max(axis=(0, 1))
@@ -227,4 +277,6 @@ def build_clusters(
         sub_bounds=sub_bounds,
         tri_index=tri_index,
         mat_id=mats.reshape(num_clusters, cluster_size),
+        num_opaque_clusters=num_opaque_clusters,
+        num_opaque_supers=num_opaque_supers,
     )

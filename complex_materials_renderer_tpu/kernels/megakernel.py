@@ -288,6 +288,7 @@ def _make_kernel(
     t_min: float,
     t_max: float,
     max_iters: int,
+    S_OPQ: int = 0,
     debug: str = "",
 ):
     """Build the megakernel body. All sizes static.
@@ -378,8 +379,12 @@ def _make_kernel(
 
         K_NEE = 2 * nee_max_media  # tracked hits in the NEE multi-hit sweep
 
-        def traverse(OX, OY, OZ, DX, DY, DZ, TMAX, payload: str):
-            """Ordered early-terminating traversal.
+        def traverse(OX, OY, OZ, DX, DY, DZ, TMAX, payload: str,
+                     s_lo: int = 0, s_hi: int | None = None):
+            """Ordered early-terminating traversal over supers
+            [``s_lo``, ``s_hi``) — the full scene by default; the NEE
+            sweep passes the opaque/media sub-ranges of a partitioned
+            grid.
 
             payload: 'full' -> closest hit (t, slot, u, v, nx, ny, nz,
                                mat, px, py, pz)
@@ -390,20 +395,24 @@ def _make_kernel(
                                queries (volpath:353-412) with a sorted
                                insertion per triangle hit
                      'dist' -> closest hit (t, slot)
+                     'occl' -> closest hit distance only (t,)
             t == per-lane TMAX on miss; slot/mat == -1. Dead lanes are
             encoded as TMAX <= t_min and never match.
             """
+            if s_hi is None:
+                s_hi = S
             IX, IY, IZ = _safe_inv(DX), _safe_inv(DY), _safe_inv(DZ)
             zeros = jnp.zeros_like(OX)
             neg1 = jnp.full_like(OX, -1.0)
 
-            if payload != "nee":
+            if payload in ("full", "dist"):
                 # Clamp the walk bound to the scene-box exit: all geometry
                 # lives inside it, so a lane that misses everything stops
                 # forcing cluster visits at the box boundary instead of
                 # carrying t_best = 1e4 along its whole ray. (The NEE
-                # sweep's bound is already the light distance, and its
-                # miss sentinel must stay == the caller's eff.)
+                # sweep's and occlusion walk's miss sentinels must stay
+                # == the caller's eff, and their bound is already the
+                # light distance.)
                 def axis_exit(lo_i, hi_i, O, INV):
                     return jnp.maximum(
                         (misc_ref[lo_i] - O) * INV, (misc_ref[hi_i] - O) * INV
@@ -423,6 +432,8 @@ def _make_kernel(
                           jnp.ones_like(OX), neg1, zeros, zeros, zeros)
             elif payload == "nee":
                 state0 = tuple([TMAX] * K_NEE) + tuple([neg1] * K_NEE)
+            elif payload == "occl":
+                state0 = (TMAX,)
             else:
                 state0 = (TMAX, neg1)
 
@@ -521,6 +532,8 @@ def _make_kernel(
                         pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
                         return (t_best, slot, ub, vb, nxb, nyb, nzb, mb,
                                 pxb, pyb, pzb)
+                    if payload == "occl":
+                        return (t_best,)
                     (_, slot) = state
                     slot = jnp.where(improved, base_slot + j, slot)
                     return (t_best, slot)
@@ -610,14 +623,14 @@ def _make_kernel(
                         st,
                     )
 
-                return jax.lax.fori_loop(0, S, super_lin, state0)
+                return jax.lax.fori_loop(s_lo, s_hi, super_lin, state0)
 
             def s_entry(sp, entries):
                 e = slab_entry_min(sb_ref, sp, OX, OY, OZ, IX, IY, IZ, TMAX)
                 return jnp.where(flat_iota == sp, e, entries)
 
             sentries = jax.lax.fori_loop(
-                0, S, s_entry, jnp.full((8, 128), _INF)
+                s_lo, s_hi, s_entry, jnp.full((8, 128), _INF)
             )
 
             def scond(carry):
@@ -705,7 +718,19 @@ def _make_kernel(
             lv_b = lib * inv * inv
 
             eff = jnp.where(active, ldist, 0.0)
-            hits = traverse(px, py, pz, ldx, ldy, ldz, eff, "nee")
+            if S_OPQ > 0:
+                # Partitioned grid: nearest opaque occluder from a cheap
+                # closest-hit walk over the opaque supers; the K-list
+                # sweep only collects boundaries from the media supers.
+                (t_op,) = traverse(
+                    px, py, pz, ldx, ldy, ldz, eff, "occl", 0, S_OPQ
+                )
+                hits = traverse(
+                    px, py, pz, ldx, ldy, ldz, eff, "nee", S_OPQ, S
+                )
+            else:
+                t_op = jnp.full_like(px, _INF)
+                hits = traverse(px, py, pz, ldx, ldy, ldz, eff, "nee")
             ts = hits[:K_NEE]
             ms = hits[K_NEE:]
 
@@ -730,8 +755,23 @@ def _make_kernel(
                     last_t + jnp.maximum(rem, t_min),
                     last_t + 0.999 * rem,
                 )
+                window = jnp.minimum(cut, eff)
+                # Partitioned grids track the nearest opaque hit
+                # separately: it occludes when it falls inside this leg's
+                # window before the next media boundary (the per-leg query
+                # would have returned it as the closest hit).
+                opq = (
+                    running
+                    & (t_op > last_t + t_min)
+                    & (t_op < window)
+                    & (t_op < t_i)
+                )
+                tr_r = jnp.where(opq, 0.0, tr_r)
+                tr_g = jnp.where(opq, 0.0, tr_g)
+                tr_b = jnp.where(opq, 0.0, tr_b)
+                running = running & ~opq
                 consider = running & ~dup
-                real = consider & (t_i < jnp.minimum(cut, eff))
+                real = consider & (t_i < window)
                 ended = consider & ~real  # miss: march resolves, trans kept
                 (has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, _g2, _i2) = (
                     media_scan(m_i)
@@ -1133,6 +1173,7 @@ def trace_paths_mega(
     kernel = _make_kernel(
         C, S, width, M, blocks, background, max_depth, rr_depth,
         nee_max_media, tir_kill, 1e-4, 1e4, max_iters,
+        S_OPQ=grid.num_opaque_supers,
         debug=debug,
     )
     # The sub-group AABB table rides in VMEM as one (nsub*8,) row per

@@ -46,7 +46,9 @@ BLOCK_RAYS = 1024  # 8 sublanes x 128 lanes
         "v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
         "bounds", "super_bounds", "sub_bounds", "tri_index", "mat",
     ],
-    meta_fields=["num_clusters", "num_supers", "interpret"],
+    meta_fields=[
+        "num_clusters", "num_supers", "num_opaque_supers", "interpret",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class DeviceClusterGrid:
@@ -66,6 +68,7 @@ class DeviceClusterGrid:
     mat: jnp.ndarray  # (C, 128) per-slot material id (float32 on device)
     num_clusters: int
     num_supers: int
+    num_opaque_supers: int  # supers [0, this) hold only opaque triangles
     interpret: bool  # run the kernel interpreted (CPU tests)
 
 
@@ -95,6 +98,7 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         mat=jnp.asarray(grid.mat_id, jnp.float32),
         num_clusters=int(grid.bounds.shape[0]),
         num_supers=int(grid.super_bounds.shape[0]),
+        num_opaque_supers=int(getattr(grid, "num_opaque_supers", 0)),
         interpret=bool(interpret),
     )
 

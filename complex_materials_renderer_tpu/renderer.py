@@ -80,6 +80,10 @@ class Renderer:
                     # showcase): the extra clusters cost more visits than
                     # the tighter AABBs save. Off by default; available
                     # for scenes with pathological scene-spanning fans.
+                    #
+                    # Opaque/media segregation lets the NEE sweep run its
+                    # K-list collection over media clusters only.
+                    media_mats=None,  # A/B: segregation measured on/off
                 )
                 build_fn = lambda: device_cluster_grid(self._host_accel)
             else:

@@ -46,3 +46,28 @@ def test_mega_matches_wavefront_tiny():
     )
     assert np.all(np.isfinite(img_m))
     np.testing.assert_allclose(img_m, img_w, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_mega_partitioned_grid_matches():
+    """An opaque/media-partitioned grid (NEE occlusion walk + media-only
+    K-list sweep) renders the same image as the unpartitioned grid."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    plain = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    part = device_cluster_grid(
+        build_clusters(tris, mats, cluster_size=8, media_mats={1})
+    )
+    assert part.num_opaque_supers > 0
+    img_a = np.asarray(
+        render_beauty_mega(
+            fixture_camera(), scene, plain, fixture_lights(), (8, 8), 1, **kw
+        )
+    )
+    img_b = np.asarray(
+        render_beauty_mega(
+            fixture_camera(), scene, part, fixture_lights(), (8, 8), 1, **kw
+        )
+    )
+    np.testing.assert_allclose(img_a, img_b, atol=1e-5)
