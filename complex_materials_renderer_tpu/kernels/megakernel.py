@@ -600,10 +600,17 @@ def _make_kernel(
                 state, _ = jax.lax.while_loop(ccond, cbody, (state, centries))
                 return state
 
-            if "lin" in debug:
-                # Ablation: linear Morton-order traversal with scalar AABB
-                # culling (round-1 pallas_trace structure) instead of the
-                # ordered nearest-first walk.
+            if "ordered" not in debug:
+                # DEFAULT: linear tree-order traversal with scalar AABB
+                # culling per super/cluster. Measured FASTER than the
+                # nearest-first ordered walk below on every bench scene
+                # (showcase 1.52 vs 1.37, cup 0.133 vs 0.117 Mpaths/s):
+                # with per-bounce coherence sorting and the scene-box
+                # bound, the ordered walk's scalar machinery (per-super
+                # entry tables, pick_min selection loops, extra
+                # cross-lane reduces per visit) costs more than
+                # front-to-back early exit saves. The ordered walk stays
+                # as the CMR_MEGA_DEBUG=ordered ablation.
                 def cluster_lin(c, st):
                     e = slab_entry_min(cb_ref, c, OX, OY, OZ, IX, IY, IZ,
                                        bound_of(st))

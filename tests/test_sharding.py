@@ -137,3 +137,21 @@ def test_tile_sharded_mega_engine(setup):
         )
     )
     np.testing.assert_array_equal(ref, img)
+
+
+def test_multihost_single_process(setup):
+    """Single-process multihost path == the plain sharded render (the
+    multi-process branch adds only the final cross-host allgather)."""
+    from complex_materials_renderer_tpu.parallel import multihost
+
+    scene, bvh, cam, lights = setup
+    multihost.init_distributed()  # no-op single host
+    img = multihost.render_multihost(
+        cam, scene, bvh, lights, (16, 16), 2
+    )
+    ref = np.asarray(
+        render_beauty_sharded(
+            cam, scene, bvh, lights, (16, 16), 2, mesh=make_render_mesh()
+        )
+    )
+    np.testing.assert_array_equal(img, ref)
