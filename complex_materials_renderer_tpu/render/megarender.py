@@ -159,6 +159,7 @@ def _partition_live(state: MegaState, lane: jnp.ndarray, scene):
         "full_resolution",
         "return_rng",
         "tir",
+        "schedule_mode",
     ),
 )
 def render_beauty_mega(
@@ -179,12 +180,16 @@ def render_beauty_mega(
     rng_state=None,
     return_rng=False,
     tir: str = "reflect",
+    schedule_mode: str = "auto",
 ):
     """Render an (H, W, 3) tile of the beauty pass with the megakernel.
 
     Same interface/semantics as integrator.render_beauty (see its
     docstring for the chunk/shard contract); ``rng_state`` is carried in
-    row-major pixel order.
+    row-major pixel order. ``schedule_mode``: auto (default; by scene
+    size) | off (static phase schedule) | hybrid | all (dynamic
+    live_blocks modes) — see the mode comment below; the CMR_MEGA_DYN
+    env var overrides 'auto'.
     """
     width, height = resolution
     full_w, full_h = full_resolution if full_resolution else (width, height)
@@ -217,7 +222,9 @@ def render_beauty_mega(
     # compiles); all = sort every bounce to death (1 compile — and the
     # fastest measured mode on large deep-path scenes: cup 0.117 vs
     # 0.095). auto picks by scene size.
-    dynamic = os.environ.get("CMR_MEGA_DYN", "auto")
+    dynamic = schedule_mode
+    if dynamic == "auto":
+        dynamic = os.environ.get("CMR_MEGA_DYN", "auto")
     if dynamic == "1":
         dynamic = "all"
     if dynamic == "auto":

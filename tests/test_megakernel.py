@@ -71,3 +71,27 @@ def test_mega_partitioned_grid_matches():
         )
     )
     np.testing.assert_allclose(img_a, img_b, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["all", "hybrid"])
+def test_mega_dynamic_schedule_modes(mode):
+    """Dynamic live_blocks modes (sorted full-shape wavefront, traced
+    block bound, aliased state I/O) produce the same image as the static
+    phase schedule."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    cam, lights = fixture_camera(), fixture_lights()
+    ref = np.asarray(
+        render_beauty_mega(
+            cam, scene, grid, lights, (8, 8), 1, schedule_mode="off", **kw
+        )
+    )
+    img = np.asarray(
+        render_beauty_mega(
+            cam, scene, grid, lights, (8, 8), 1, schedule_mode=mode, **kw
+        )
+    )
+    np.testing.assert_allclose(img, ref, atol=1e-6)
