@@ -454,19 +454,24 @@ def _make_kernel(
                 g2y = e2y_ref[c]
                 g2z = e2z_ref[c]
                 m_row = mat_ref[c]
+
+                def load9(j):
+                    return (
+                        a_x[j], a_y[j], a_z[j],
+                        g1x[j], g1y[j], g1z[j],
+                        g2x[j], g2y[j], g2z[j],
+                    )
+
+                def loadm(j):
+                    return m_row[j]
+
                 base_slot = (c * width).astype(jnp.float32)
                 eps = jnp.float32(1e-6)
 
                 def tri_step(j, state):
-                    ax = a_x[j]
-                    ay = a_y[j]
-                    az = a_z[j]
-                    e1xj = g1x[j]
-                    e1yj = g1y[j]
-                    e1zj = g1z[j]
-                    e2xj = g2x[j]
-                    e2yj = g2y[j]
-                    e2zj = g2z[j]
+                    (ax, ay, az, e1xj, e1yj, e1zj, e2xj, e2yj, e2zj) = (
+                        load9(j)
+                    )
 
                     # Moller-Trumbore: one triangle vs 1024 rays.
                     px = DY * e2zj - DZ * e2yj
@@ -499,7 +504,7 @@ def _make_kernel(
                             & (tt < ts[-1])
                         )
                         cand_t = jnp.where(valid, tt, _INF)
-                        cand_m = jnp.full_like(tt, m_row[j])
+                        cand_m = jnp.full_like(tt, loadm(j))
                         for i in range(K_NEE):
                             old_t = ts[i]
                             old_m = ms[i]
@@ -526,7 +531,7 @@ def _make_kernel(
                         nxb = jnp.where(improved, e1yj * e2zj - e1zj * e2yj, nxb)
                         nyb = jnp.where(improved, e1zj * e2xj - e1xj * e2zj, nyb)
                         nzb = jnp.where(improved, e1xj * e2yj - e1yj * e2xj, nzb)
-                        mb = jnp.where(improved, m_row[j], mb)
+                        mb = jnp.where(improved, loadm(j), mb)
                         pxb = jnp.where(improved, ax + uu * e1xj + vv * e2xj, pxb)
                         pyb = jnp.where(improved, ay + uu * e1yj + vv * e2yj, pyb)
                         pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
