@@ -182,9 +182,12 @@ def _boundary_event(dx, dy, dz, nx, ny, nz, ior):
     return rx, ry, rz, tx, ty, tz, r, tir
 
 
-def _sample_distance(rand, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, dist):
-    """Free-flight sampling (ops/medium.py sample_distance, volpath:482-543).
-    Returns (success, t, prob_fail, prob_success, tr_r, tr_g, tr_b)."""
+def _free_flight_candidate(rand, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b):
+    """The segment-length-independent half of free-flight sampling: the
+    exponential candidate collision distance (NO_INTERACTION when the
+    single-scatter draw declines). Exactly the ``sampled`` value of
+    _sample_distance — callers may use it to BOUND the boundary trace,
+    since success only compares ``sampled < dist``."""
     er = ss_r + sa_r
     eg = ss_g + sa_g
     eb = ss_b + sa_b
@@ -202,7 +205,26 @@ def _sample_distance(rand, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, dist):
     exp_sample = -jnp.log(jnp.maximum(1.0 - r_scaled, 1e-37)) / jnp.maximum(
         density, 1e-30
     )
-    sampled = jnp.where(draw & (density > 0.0), exp_sample, NO_INTERACTION)
+    return jnp.where(draw & (density > 0.0), exp_sample, NO_INTERACTION)
+
+
+def _sample_distance(rand, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, dist):
+    """Free-flight sampling (ops/medium.py sample_distance, volpath:482-543).
+    Returns (success, t, prob_fail, prob_success, tr_r, tr_g, tr_b)."""
+    er = ss_r + sa_r
+    eg = ss_g + sa_g
+    eb = ss_b + sa_b
+    density = _min3(er, eg, eb)
+
+    def albedo(ss, ext):
+        return jnp.where(ext > 0.0, ss / jnp.maximum(ext, 1e-30), -1.0)
+
+    weight = _max3(albedo(ss_r, er), albedo(ss_g, eg), albedo(ss_b, eb))
+    weight = jnp.maximum(weight, -1.0)
+    weight = jnp.where(weight > 0.0, jnp.maximum(weight, 0.5), weight)
+
+    draw = rand < weight
+    sampled = _free_flight_candidate(rand, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b)
 
     success = sampled < dist
     t = jnp.where(success, sampled, dist)
@@ -874,11 +896,27 @@ def _make_kernel(
             oz = jnp.where(do_reflect, pz, oz)
             depth = depth + jnp.where(has_med, 1, 0)
 
+            # --- free-flight draw BEFORE the boundary trace ---
+            # Same single masked PCG draw as the reference (volpath:691),
+            # just evaluated early: the exponential candidate distance
+            # does not depend on the segment length, so it can BOUND the
+            # distance-to-boundary trace below. A lane that scatters well
+            # inside a dense medium then barely traverses — if no boundary
+            # exists within the candidate, the sampled collision stands
+            # (succ = cand < seg_len is true for any farther boundary).
+            rng, rand_d = _rng_next(rng, transmitted)
+            cand = _free_flight_candidate(
+                rand_d, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b
+            )
+
             # --- distance-to-boundary trace (volpath:675-688) ---
             def dist_trace(_):
+                bound = jnp.minimum(
+                    cand * 1.00001 + 10.0 * t_min, t_max_f
+                )
                 dt, dslot = traverse(
                     px, py, pz, dax, day, daz,
-                    jnp.where(transmitted, t_max_f, 0.0), "dist"
+                    jnp.where(transmitted, bound, 0.0), "dist"
                 )
                 return jnp.where(dslot >= 0.0, dt, t_max_f)
 
@@ -893,7 +931,6 @@ def _make_kernel(
                 )
 
             # --- free-flight sampling (volpath:691) ---
-            rng, rand_d = _rng_next(rng, transmitted)
             (succ, ms_t, prob_fail, prob_success, tr_r, tr_g, tr_b) = (
                 _sample_distance(rand_d, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b,
                                  seg_len)
