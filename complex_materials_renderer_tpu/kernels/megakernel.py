@@ -18,18 +18,17 @@ Structure:
 - per block, a ``while_loop`` advances the bounce state machine until
   every lane dies — a block whose paths all terminate early exits early
   (the round-1 two-phase-tail trick is unnecessary).
-- traversal is ORDERED and EARLY-TERMINATING: per query, entry distances
-  of all super-clusters are computed (vector slab tests reduced to SMEM
-  scalars), then supers are visited nearest-first via a scalar
-  selection loop that stops as soon as the nearest remaining entry
-  exceeds every live lane's current best hit; the same
-  nearest-first/early-stop loop runs over the <=16 clusters inside each
-  visited super. This replaces the driver's PREFER_FAST_TRACE ordered
-  traversal (reference main.cpp:180-182, volpath:612-627).
-- the NEE march through media boundaries (volpath:337-426) runs as an
-  in-kernel while loop (one traversal per boundary crossing, exits when
-  no lane still has distance to cover) instead of 2x4 chained
-  ``pallas_call``s.
+- traversal is a LINEAR CULLED walk: supers and clusters in tree order,
+  each gated by a scalar slab test against the per-lane bound (walks are
+  additionally clamped to the scene-box exit, and the dist walk to the
+  free-flight candidate). This replaces the driver's hardware traversal
+  (reference main.cpp:180-182, volpath:612-627); a nearest-first ordered
+  walk exists as the CMR_MEGA_DEBUG=ordered ablation but measured slower
+  (its scalar selection machinery exceeds what early exit saves).
+- the NEE march through media boundaries (volpath:337-426) is ONE
+  multi-hit traversal (sorted insertion of the K nearest boundaries per
+  triangle hit) followed by a static unrolled march over the hit list —
+  instead of 2x4 chained per-leg ``pallas_call``s.
 - PCG32 (LCG * 747796405 + 1, RXS-M-XS output — volpath:231-246) is
   evaluated in-kernel on uint32 lanes; the uint->float conversion uses
   an exact hi/lo 16-bit split (Mosaic lacks the direct cast) that is
