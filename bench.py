@@ -20,11 +20,65 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 TARGET_MPATHS = 50.0  # BASELINE.json north-star, v5e
+
+
+def _golden_rmse() -> float:
+    """Render the showcase golden config (64x64@4, parity RNG) with the
+    MEGA engine on the real chip and compare against the committed CPU
+    golden — the per-round record of TPU-vs-golden drift (the committed
+    corpus is CPU-rendered; this is the only artifact comparing the
+    flagship engine's hardware output against it)."""
+    from complex_materials_renderer_tpu.tools.goldens import (
+        load_golden,
+        rmse,
+    )
+    from complex_materials_renderer_tpu.renderer import Renderer
+    from complex_materials_renderer_tpu.config import RenderOptions
+    from complex_materials_renderer_tpu.scene import load_scene
+
+    golden = load_golden("showcase")
+    if golden is None:
+        return float("nan")
+    opt = RenderOptions()
+    opt.obj_path = "scenes/showcase.obj"
+    opt.width = opt.height = 64
+    opt.num_samples = 4
+    opt.rng = "parity"
+    opt.shard = "none"
+    opt.engine = "mega"
+    scene = load_scene(opt.obj_path, opt)
+    img = Renderer(scene, scene.options).render()
+    return rmse(np.asarray(img), golden)
+
+
+def _preview_cold_s() -> dict:
+    """BASELINE.json config 1 (default scene, 128x128@8) in a FRESH
+    process, end-to-end wall time — the reference's zero-compile launch
+    is the bar (main.cpp:271-291). Two runs: the first may pay Mosaic
+    compiles, the second measures the steady cold-start with the
+    persistent compilation cache populated."""
+    cmd = [
+        sys.executable, "-m", "complex_materials_renderer_tpu",
+        "-s", "8", "--width", "128", "--height", "128",
+        "-o", "/tmp/cmr_preview_bench",
+    ]
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900
+        )
+        if r.returncode != 0:
+            return {"preview_cold_s": f"error: {r.stderr[-200:]}"}
+        times.append(round(time.perf_counter() - t0, 1))
+    return {"preview_first_s": times[0], "preview_cold_s": times[1]}
 
 
 def _bench_scene(obj_path, width, height, samples, warm_samples=None):
@@ -57,6 +111,11 @@ def _bench_scene(obj_path, width, height, samples, warm_samples=None):
 
 
 def main() -> None:
+    from complex_materials_renderer_tpu.utils.cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     primary = _bench_scene("scenes/showcase.obj", 512, 512, 16)
 
     # Side configs run a 4-width phase schedule (~5 min of Mosaic compile
@@ -80,6 +139,15 @@ def main() -> None:
             configs[name] = f"error: {type(e).__name__}"
     os.environ.pop("CMR_MEGA_SCHED", None)
 
+    try:
+        golden_rmse = round(_golden_rmse(), 6)
+    except Exception as e:
+        golden_rmse = f"error: {type(e).__name__}"
+    try:
+        preview = _preview_cold_s()
+    except Exception as e:
+        preview = {"preview_cold_s": f"error: {type(e).__name__}"}
+
     print(
         json.dumps(
             {
@@ -88,6 +156,8 @@ def main() -> None:
                 "unit": "Mpaths/s",
                 "vs_baseline": round(primary / TARGET_MPATHS, 4),
                 "configs": configs,
+                "golden_rmse": golden_rmse,
+                **preview,
             }
         )
     )

@@ -224,9 +224,14 @@ def build_clusters(
 
     comp = packed.reshape(num_clusters, cluster_size, 3, 3)
 
+    # Empty pad clusters get a FAR-AWAY POINT box (lo = hi = 1e30): the
+    # kernel's slab test then yields tn > TMAX for any ray. (An inverted
+    # lo=+inf/hi=-inf box would NOT cull: slab_entry takes per-axis
+    # min/max of the two plane distances, so it degenerates to
+    # (-inf, +inf) and always intersects.)
     bounds = np.zeros((num_clusters, 8), np.float32)
-    bounds[:, 0:3] = np.float32(1e30)  # empty pad clusters never intersect
-    bounds[:, 3:6] = np.float32(-1e30)
+    bounds[:, 0:6] = np.float32(1e30)
+    cluster_empty = np.ones(num_clusters, bool)
     for c in range(num_clusters):
         real = tri_index[c * cluster_size : (c + 1) * cluster_size] >= 0
         if not np.any(real):
@@ -234,24 +239,30 @@ def build_clusters(
         member = comp[c][real]  # (n, 3, 3)
         bounds[c, 0:3] = member.min(axis=(0, 1))
         bounds[c, 3:6] = member.max(axis=(0, 1))
+        cluster_empty[c] = False
 
     # Second culling level: AABBs over groups of SUPER_FACTOR consecutive
-    # (Morton-adjacent, hence spatially tight) clusters.
+    # (Morton-adjacent, hence spatially tight) clusters. Empty member
+    # clusters are excluded so their far-box sentinel doesn't inflate the
+    # super's AABB to [real_lo, 1e30].
     num_supers = -(-num_clusters // SUPER_FACTOR)
     super_bounds = np.zeros((num_supers, 8), np.float32)
+    super_bounds[:, 0:6] = np.float32(1e30)
     for s in range(num_supers):
         grp = bounds[s * SUPER_FACTOR : (s + 1) * SUPER_FACTOR]
-        super_bounds[s, 0:3] = grp[:, 0:3].min(axis=0)
-        super_bounds[s, 3:6] = grp[:, 3:6].max(axis=0)
+        live = ~cluster_empty[s * SUPER_FACTOR : (s + 1) * SUPER_FACTOR]
+        if not np.any(live):
+            continue
+        super_bounds[s, 0:3] = grp[live, 0:3].min(axis=0)
+        super_bounds[s, 3:6] = grp[live, 3:6].max(axis=0)
 
     # Third culling level: AABBs over SUB_SIZE-triangle runs inside each
     # cluster, letting the kernel's statically unrolled triangle loop skip
-    # whole runs with a scalar branch. Empty (all-pad) runs get an
-    # inverted box that never intersects.
+    # whole runs with a scalar branch. Empty (all-pad) runs get the same
+    # far-away point box as empty clusters (see above).
     subs = max(1, cluster_size // SUB_SIZE)
     sub_bounds = np.zeros((num_clusters * subs, 8), np.float32)
-    sub_bounds[:, 0:3] = np.float32(1e30)
-    sub_bounds[:, 3:6] = np.float32(-1e30)
+    sub_bounds[:, 0:6] = np.float32(1e30)
     for c in range(num_clusters):
         for g in range(subs):
             s0 = c * cluster_size + g * SUB_SIZE

@@ -22,6 +22,12 @@ def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     options = parse_argv(argv, RenderOptions())
 
+    # Reference launches with zero compilation (precompiled SPIR-V,
+    # main.cpp:271-291); the persistent cache is the jit-world analogue.
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     timer = PhaseTimer()
     with timer.phase("scene_load"):
         scene = load_scene(options.obj_path, options)

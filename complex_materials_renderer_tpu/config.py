@@ -65,13 +65,18 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--width/--height\tRender resolution (default: 1920x1080)
 \t--aov\tOutput channel: beauty (default), depth, normal, topology
 \t--max-depth\tMaximum path depth (default: 32)
+\t--rr-depth\tPath depth after which russian roulette starts (default: 16)
 \t--rng\tparity (reference-matching PCG stream) or counter (sample-parallel)
 \t--backend\tauto (default) | cluster (Pallas TPU kernel) | bvh (XLA)
 \t--engine\tauto (default) | mega (fused path kernel) | wavefront (XLA loop)
 \t--tir\treflect (default) | kill (reference-faithful TIR termination)
 \t--shard\tauto (tile-shard across devices) or none
 \t--nee-bound\tMax media crossings along shadow rays (default: 4)
-\t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present)
+\t--sample-chunk\tSamples per bounded device pass (default: 0 = auto)
+\t--cluster-size\tPallas tracer cluster width in triangles (default: 128)
+\t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present;
+\t\trejects a checkpoint written with different settings, including -s,
+\t\tsince the buffer is pre-scaled by samples/num_samples)
 \t--profile\tDirectory for a jax.profiler trace of the render
 Any bare argument is treated as the .obj scene path."""
 
@@ -84,7 +89,6 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
     background is clamped to 0 when out of range.
     """
     opt = options or RenderOptions()
-    it = iter(range(len(argv)))
     i = 0
     n = len(argv)
 
@@ -153,6 +157,10 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
             v, i = take_value(i)
             if v is not None:
                 opt.sample_chunk = int(v)
+        elif a == "--cluster-size":
+            v, i = take_value(i)
+            if v is not None:
+                opt.cluster_size = int(v)
         elif a == "--shard":
             v, i = take_value(i)
             if v is not None:

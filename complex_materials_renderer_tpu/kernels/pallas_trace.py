@@ -45,9 +45,11 @@ BLOCK_RAYS = 1024  # 8 sublanes x 128 lanes
     data_fields=[
         "v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
         "bounds", "super_bounds", "sub_bounds", "tri_index", "mat",
+        "run_rows",
     ],
     meta_fields=[
-        "num_clusters", "num_supers", "num_opaque_supers", "interpret",
+        "num_clusters", "num_supers", "num_opaque_supers",
+        "runs_per_cluster", "run_size", "interpret",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -66,9 +68,19 @@ class DeviceClusterGrid:
     sub_bounds: jnp.ndarray  # (C*subs, 8) in-cluster sub-group AABBs
     tri_index: jnp.ndarray  # (C*128,) slot -> original triangle id
     mat: jnp.ndarray  # (C, 128) per-slot material id (float32 on device)
+    # Run-major triangle rows for the megakernel's range-culled inner
+    # loop: one row per SUB_SIZE-triangle run, 10 components strided by
+    # run_size — [v0x*r, v0y*r, v0z*r, e1x*r, e1y*r, e1z*r, e2x*r,
+    # e2y*r, e2z*r, mat*r], lane-padded to a multiple of 128. One
+    # dynamic ROW read fetches a whole run; extracts within the row are
+    # static, so a fori_loop with TRACED bounds can walk just the runs
+    # the ray block actually enters.
+    run_rows: jnp.ndarray  # (C * runs_per_cluster, row_width)
     num_clusters: int
     num_supers: int
     num_opaque_supers: int  # supers [0, this) hold only opaque triangles
+    runs_per_cluster: int
+    run_size: int
     interpret: bool  # run the kernel interpreted (CPU tests)
 
 
@@ -85,6 +97,30 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
             f"cluster grid has {num_slots} triangle slots; the kernel's "
             "float32 slot ids are exact only below 2^24 (16.7M triangles)"
         )
+
+    import numpy as np
+
+    from ..accel.clusters import SUB_SIZE
+
+    c = int(grid.bounds.shape[0])
+    width = int(grid.v0x.shape[1])
+    subs = max(1, width // SUB_SIZE)
+    if width % subs:
+        raise ValueError(f"cluster width {width} not divisible into runs")
+    run = width // subs
+    row_w = -(-(10 * run) // 128) * 128
+    comps = [
+        grid.v0x, grid.v0y, grid.v0z,
+        grid.e1x, grid.e1y, grid.e1z,
+        grid.e2x, grid.e2y, grid.e2z,
+        np.asarray(grid.mat_id, np.float32),
+    ]
+    run_rows = np.zeros((c * subs, row_w), np.float32)
+    for k, arr in enumerate(comps):
+        run_rows[:, k * run : (k + 1) * run] = np.asarray(
+            arr, np.float32
+        ).reshape(c * subs, run)
+
     return DeviceClusterGrid(
         v0x=jnp.asarray(grid.v0x), v0y=jnp.asarray(grid.v0y), v0z=jnp.asarray(grid.v0z),
         e1x=jnp.asarray(grid.e1x), e1y=jnp.asarray(grid.e1y), e1z=jnp.asarray(grid.e1z),
@@ -96,9 +132,12 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         # Material ids ride as float32 so every update is a same-type
         # vector select; ids are small ints, exactly representable.
         mat=jnp.asarray(grid.mat_id, jnp.float32),
+        run_rows=jnp.asarray(run_rows),
         num_clusters=int(grid.bounds.shape[0]),
         num_supers=int(grid.super_bounds.shape[0]),
         num_opaque_supers=int(getattr(grid, "num_opaque_supers", 0)),
+        runs_per_cluster=subs,
+        run_size=run,
         interpret=bool(interpret),
     )
 

@@ -21,8 +21,6 @@ Usage (one process per host, all started with the same arguments):
 
 from __future__ import annotations
 
-import math
-
 import jax
 import numpy as np
 
@@ -82,7 +80,14 @@ def render_multihost(
     # Each process holds its tile rows; assemble the global image.
     from jax.experimental import multihost_utils
 
-    n_tile = mesh.shape["tile"]
-    rows_per_tile = math.ceil(height / n_tile)
-    del rows_per_tile  # layout documented; allgather handles assembly
-    return np.asarray(multihost_utils.process_allgather(img, tiled=True))
+    out = np.asarray(multihost_utils.process_allgather(img, tiled=True))
+    # Fail loudly if allgather semantics for non-fully-addressable inputs
+    # change across JAX versions (a host-local interpretation would
+    # concatenate per-process rows into (P*H, W, 3) instead).
+    if out.shape != (height, width, 3):
+        raise RuntimeError(
+            "process_allgather returned shape "
+            f"{out.shape}, expected {(height, width, 3)}; "
+            "multi-host assembly semantics mismatch"
+        )
+    return out

@@ -63,7 +63,7 @@ def _tile_perm(width: int, height: int):
     return perm, inv
 
 
-def _phase_schedule(rp: int, max_depth: int):
+def _phase_schedule(rp: int, max_depth: int, schedule: str = ""):
     """(lane_width, bounce_cap) pairs. Widths follow the measured wavefront
     decay (NOTES.md: ~45% of lanes die per early bounce), and the swept
     optimum sorts/shrinks EVERY bounce while the wavefront is wide — the
@@ -72,15 +72,12 @@ def _phase_schedule(rp: int, max_depth: int):
     last phase runs to termination (cap = max_depth — depth grows every
     iteration, so that equals 'until dead').
 
-    CMR_MEGA_SCHED="div:cap,div:cap,..." overrides for tuning runs
-    (div = lane-width divisor)."""
-    import os
-
-    env = os.environ.get("CMR_MEGA_SCHED", "")
-    if env:
+    ``schedule`` = "div:cap,div:cap,..." overrides for tuning runs
+    (div = lane-width divisor; callers read CMR_MEGA_SCHED for it)."""
+    if schedule:
         raw = [
             (rp // int(d), int(c))
-            for d, c in (p.split(":") for p in env.split(","))
+            for d, c in (p.split(":") for p in schedule.split(","))
         ]
     else:
         raw = [
@@ -110,7 +107,8 @@ def _spread3(v):
     return v
 
 
-def _partition_live(state: MegaState, lane: jnp.ndarray, scene):
+def _partition_live(state: MegaState, lane: jnp.ndarray, scene,
+                    sortkey: str = "dir"):
     """Compact + re-sort the wavefront: dead lanes last, live lanes
     ordered by (direction octant, Morton cell of origin) — the same
     coherence key the wavefront engine re-sorts with every bounce
@@ -132,9 +130,7 @@ def _partition_live(state: MegaState, lane: jnp.ndarray, scene):
         + (state.dir[:, 1] > 0).astype(jnp.uint32) * jnp.uint32(2)
         + (state.dir[:, 2] > 0).astype(jnp.uint32)
     )
-    import os
-
-    if os.environ.get("CMR_MEGA_SORTKEY", "dir") == "pos":
+    if sortkey == "pos":
         # Position-major: a block's lanes share a spatial cell (mixed
         # directions). Wins when expected hit distances are short (dense
         # interiors), where the block's cluster footprint is the cost.
@@ -160,6 +156,9 @@ def _partition_live(state: MegaState, lane: jnp.ndarray, scene):
         "return_rng",
         "tir",
         "schedule_mode",
+        "schedule",
+        "sortkey",
+        "debug",
     ),
 )
 def render_beauty_mega(
@@ -181,6 +180,9 @@ def render_beauty_mega(
     return_rng=False,
     tir: str = "reflect",
     schedule_mode: str = "auto",
+    schedule: str = "",
+    sortkey: str = "dir",
+    debug: str = "",
 ):
     """Render an (H, W, 3) tile of the beauty pass with the megakernel.
 
@@ -188,8 +190,13 @@ def render_beauty_mega(
     docstring for the chunk/shard contract); ``rng_state`` is carried in
     row-major pixel order. ``schedule_mode``: auto (default; by scene
     size) | off (static phase schedule) | hybrid | all (dynamic
-    live_blocks modes) — see the mode comment below; the CMR_MEGA_DYN
-    env var overrides 'auto'.
+    live_blocks modes) — see the mode comment below.
+
+    ``schedule`` / ``sortkey`` / ``debug`` are the tuning knobs
+    (static, so they participate in the jit cache key — env vars read at
+    trace time would be invisible to a cached trace). The CLI/bench layer
+    reads CMR_MEGA_SCHED / CMR_MEGA_SORTKEY / CMR_MEGA_DEBUG /
+    CMR_MEGA_DYN once per render and passes them here.
     """
     width, height = resolution
     full_w, full_h = full_resolution if full_resolution else (width, height)
@@ -211,8 +218,6 @@ def render_beauty_mega(
     pixel_xy_t = jnp.take(pixel_xy, perm, axis=0)
     linear_t = jnp.take(linear, perm, axis=0)
 
-    import os
-
     media9 = pack_media(scene.media, scene.scale)
     misc = pack_misc(lights, scene.world_lo, scene.world_hi)
     # off = static per-width phase schedule (fastest steady-state on
@@ -223,13 +228,11 @@ def render_beauty_mega(
     # fastest measured mode on large deep-path scenes: cup 0.117 vs
     # 0.095). auto picks by scene size.
     dynamic = schedule_mode
-    if dynamic == "auto":
-        dynamic = os.environ.get("CMR_MEGA_DYN", "auto")
     if dynamic == "1":
         dynamic = "all"
     if dynamic == "auto":
         dynamic = "all" if grid.num_clusters > 128 else "off"
-    sched = _phase_schedule(rp, max_depth)
+    sched = _phase_schedule(rp, max_depth, schedule)
 
     kern = partial(
         trace_paths_mega,
@@ -241,6 +244,7 @@ def render_beauty_mega(
         rr_depth=rr_depth,
         nee_max_media=nee_max_media,
         tir_kill=(tir == "kill"),
+        debug=debug,
     )
 
     def one_sample(carry, sample_idx):
@@ -290,7 +294,7 @@ def render_beauty_mega(
 
             def sorted_bounce(c):
                 st, lane = c
-                st, lane = _partition_live(st, lane, scene)
+                st, lane = _partition_live(st, lane, scene, sortkey)
                 st = kern(st, max_iters=1, live_blocks=live_blocks_of(st))
                 return st, lane
 
@@ -310,7 +314,7 @@ def render_beauty_mega(
                         lambda c: c,
                         (state, lane),
                     )
-                state, lane = _partition_live(state, lane, scene)
+                state, lane = _partition_live(state, lane, scene, sortkey)
                 state = kern(
                     state,
                     max_iters=max_depth,
@@ -329,7 +333,7 @@ def render_beauty_mega(
                 # Shrink to this phase's width: pack live lanes first, bank
                 # the dropped tail (all dead — the guard loop below ensures
                 # live <= w before we get here).
-                state, lane = _partition_live(state, lane, scene)
+                state, lane = _partition_live(state, lane, scene, sortkey)
                 drop_lane = lane[w:]
                 rad_bank = rad_bank.at[drop_lane].set(state.rad[w:])
                 rng_bank = rng_bank.at[drop_lane].set(state.rng[w:])

@@ -40,6 +40,20 @@ LANES_PER_PASS = int(os.environ.get("CMR_LANES_PER_PASS", 1 << 16))
 PATHS_PER_PASS = int(os.environ.get("CMR_PATHS_PER_PASS", 1 << 20))
 
 
+def _mega_env_knobs() -> dict:
+    """Read the megakernel tuning env vars ONCE per render and hand them
+    to render_beauty_mega as explicit static args. They participate in
+    the jit cache key this way; an env read at trace time would be
+    invisible to a cached trace (a same-shape A/B with a changed knob
+    would silently reuse the stale compilation)."""
+    return dict(
+        schedule_mode=os.environ.get("CMR_MEGA_DYN", "auto"),
+        schedule=os.environ.get("CMR_MEGA_SCHED", ""),
+        sortkey=os.environ.get("CMR_MEGA_SORTKEY", "dir"),
+        debug=os.environ.get("CMR_MEGA_DEBUG", ""),
+    )
+
+
 def _auto_sample_chunk(width: int, height: int) -> int:
     lanes = min(LANES_PER_PASS, width * height)
     return max(1, PATHS_PER_PASS // lanes)
@@ -198,7 +212,19 @@ class Renderer:
         if engine == "mega":
             from .render.megarender import render_beauty_mega
 
-            beauty_fn = partial(render_beauty_mega, tir=opt.tir)
+            knobs = _mega_env_knobs()
+            if (
+                knobs["schedule_mode"] == "auto"
+                and opt.width * opt.height * opt.num_samples < (1 << 18)
+            ):
+                # Preview-sized jobs (≈ the BASELINE 128x128@8 config):
+                # the static per-width phase schedule costs one Mosaic
+                # compile per width (~minutes each through a remote
+                # compile service), so time-to-first-image is dominated
+                # by compiles. The dynamic live_blocks mode compiles ONE
+                # kernel; large renders amortize the static schedule.
+                knobs["schedule_mode"] = "all"
+            beauty_fn = partial(render_beauty_mega, tir=opt.tir, **knobs)
         else:
             beauty_fn = partial(render_beauty, tir=opt.tir)
 

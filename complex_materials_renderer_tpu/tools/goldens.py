@@ -34,6 +34,9 @@ GOLDEN_CONFIGS = {
     "vessel": ("scenes/vessel.obj", 2),
     "gem_corner": (os.path.join(_REF, "gem_corner.obj"), 2),
     "stanford_dragon": (os.path.join(_REF, "stanford_dragon.obj"), 2),
+    # The reference's flagship dense-media workload (20,624 tris, presso
+    # coffee + glass): slowest golden by far, slow-marked in the tests.
+    "cup": (os.path.join(_REF, "cup.obj"), 2),
 }
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "tests", "golden")

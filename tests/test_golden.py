@@ -72,6 +72,11 @@ def test_gem_corner_golden():
 
 
 @pytest.mark.slow
+def test_cup_golden():
+    _check("cup")
+
+
+@pytest.mark.slow
 def test_stanford_dragon_golden():
     _check("stanford_dragon")
 

@@ -74,6 +74,104 @@ def test_mega_partitioned_grid_matches():
 
 
 @pytest.mark.slow
+def test_mega_skipped_blocks_pass_through():
+    """Blocks beyond ``live_blocks`` must pass their state through
+    EXPLICITLY (the kernel copies input refs to output refs; it may not
+    rely on input_output_aliases preserving unwritten output regions).
+    Uses 2 blocks (2048 lanes) with live_blocks=1: block 2's dead lanes
+    carry distinctive radiance/RNG that must survive byte-for-byte."""
+    import jax.numpy as jnp
+
+    from complex_materials_renderer_tpu.kernels.megakernel import (
+        BLOCK,
+        MegaState,
+        pack_media,
+        pack_misc,
+        trace_paths_mega,
+    )
+
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    r = 2 * BLOCK
+    rs = np.random.default_rng(7)
+    org = np.tile(np.array([[0.0, 1.5, 5.0]], np.float32), (r, 1))
+    d = rs.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    alive = np.zeros(r, bool)
+    alive[:BLOCK] = True  # block 2 entirely dead
+    rad = rs.uniform(size=(r, 3)).astype(np.float32)
+    rngs = rs.integers(0, 2**32, size=r, dtype=np.uint32)
+    state = MegaState(
+        org=jnp.asarray(org),
+        dir=jnp.asarray(d),
+        thr=jnp.ones((r, 3), jnp.float32),
+        rad=jnp.asarray(rad),
+        rng=jnp.asarray(rngs),
+        depth=jnp.zeros((r,), jnp.int32),
+        alive=jnp.asarray(alive),
+    )
+    media9 = pack_media(scene.media, scene.scale)
+    misc = pack_misc(fixture_lights(), scene.world_lo, scene.world_hi)
+    out = trace_paths_mega(
+        grid, media9, misc, state,
+        max_depth=2, rr_depth=1, nee_max_media=1, max_iters=1,
+        live_blocks=jnp.int32(1),
+    )
+    # Block 2: every field identical to the input.
+    for field in MegaState._fields:
+        got = np.asarray(getattr(out, field))[BLOCK:]
+        want = np.asarray(getattr(state, field))[BLOCK:]
+        np.testing.assert_array_equal(got, want, err_msg=field)
+    # Block 1 actually ran (radiance or rng must have advanced somewhere).
+    assert not np.array_equal(np.asarray(out.rng)[:BLOCK], rngs[:BLOCK])
+
+
+@pytest.mark.slow
+def test_mega_debug_knob_takes_effect():
+    """The ``debug`` ablation knob is a static jit argument: two
+    same-shape renders with different values must produce different
+    images (an env-var knob read at trace time would silently reuse the
+    first cached trace)."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=3, rr_depth=2, nee_max_media=1)
+    cam, lights = fixture_camera(), fixture_lights()
+    img_a = np.asarray(
+        render_beauty_mega(cam, scene, grid, lights, (8, 8), 1, **kw)
+    )
+    img_b = np.asarray(
+        render_beauty_mega(
+            cam, scene, grid, lights, (8, 8), 1, debug="nonee", **kw
+        )
+    )
+    assert not np.allclose(img_a, img_b)
+
+
+@pytest.mark.slow
+def test_mega_ordered_traversal_matches():
+    """The retained CMR_MEGA_DEBUG=ordered ablation (nearest-first
+    ordered walk) must render the same image as the default linear
+    culled traversal — both are exact traversals, differing only in
+    visit order."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    cam, lights = fixture_camera(), fixture_lights()
+    img_lin = np.asarray(
+        render_beauty_mega(cam, scene, grid, lights, (8, 8), 1, **kw)
+    )
+    img_ord = np.asarray(
+        render_beauty_mega(
+            cam, scene, grid, lights, (8, 8), 1, debug="ordered", **kw
+        )
+    )
+    np.testing.assert_allclose(img_ord, img_lin, atol=1e-6)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["all", "hybrid"])
 def test_mega_dynamic_schedule_modes(mode):
     """Dynamic live_blocks modes (sorted full-shape wavefront, traced

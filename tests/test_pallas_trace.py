@@ -48,6 +48,56 @@ def test_cluster_build_invariants():
             assert np.all(vals <= g.bounds[c, hi_i] + 1e-5)
 
 
+def test_split_oversized_preserves_geometry():
+    """Longest-edge bisection (build_clusters split_frac) changes no
+    geometry: children lie in the parent's plane with the same winding,
+    total area is preserved, and the index map points at the parent."""
+    from complex_materials_renderer_tpu.accel.clusters import (
+        _split_oversized,
+    )
+
+    tris = np.asarray(
+        [
+            [[-10, 0, -10], [10, 0, -10], [10, 0, 10]],  # scene-spanning
+            [[0, 1, 0], [1, 1, 0], [0, 1, 1]],  # small, untouched
+        ],
+        np.float32,
+    )
+    index = np.arange(2, dtype=np.int32)
+    out, idx = _split_oversized(tris, index, frac=0.25, max_factor=64.0)
+    assert len(out) > 2
+    assert set(idx.tolist()) == {0, 1}
+
+    def area(t):
+        return 0.5 * np.linalg.norm(
+            np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=1
+        )
+
+    # Area conserved per parent; children stay in the parent plane.
+    for parent in (0, 1):
+        kids = out[idx == parent]
+        np.testing.assert_allclose(
+            area(kids).sum(), area(tris[parent : parent + 1]).sum(),
+            rtol=1e-5,
+        )
+        n = np.cross(
+            tris[parent, 1] - tris[parent, 0],
+            tris[parent, 2] - tris[parent, 0],
+        )
+        n = n / np.linalg.norm(n)
+        d = np.dot(tris[parent, 0], n)
+        assert np.allclose(kids.reshape(-1, 3) @ n, d, atol=1e-4)
+        # Same winding: child normals align with the parent's.
+        kn = np.cross(kids[:, 1] - kids[:, 0], kids[:, 2] - kids[:, 0])
+        assert np.all(kn @ n > 0)
+    # No edge above the limit survives.
+    lo = out.min(axis=(0, 1))
+    hi = out.max(axis=(0, 1))
+    limit = float(np.max(hi - lo)) * 0.25
+    e = np.linalg.norm(np.roll(out, -1, axis=1) - out, axis=2)
+    assert np.all(e <= limit + 1e-4)
+
+
 @pytest.mark.parametrize("num_tris,num_rays", [(5, 64), (61, 256)])
 def test_matches_naive(num_tris, num_rays):
     tris = _random_tris(num_tris, seed=num_tris)

@@ -77,9 +77,6 @@ def main() -> None:
         """Time ``chain`` state-chained kernel calls inside ONE jit (the
         host<->axon round trip is ~26 ms per Python-level call, so only
         in-jit slopes measure device time)."""
-        os.environ["CMR_MEGA_DEBUG"] = debug
-        mk.trace_paths_mega.clear_cache()
-
         from functools import partial as _p
 
         @_p(jax.jit, static_argnames=("n",))
@@ -89,7 +86,7 @@ def main() -> None:
                     grid, media9, misc, s,
                     background=arrays.background, max_depth=o.max_depth,
                     rr_depth=o.rr_depth, nee_max_media=o.nee_max_media,
-                    max_iters=max_iters,
+                    max_iters=max_iters, debug=debug,
                 )
                 return s2, None
             st, _ = jax.lax.scan(body, st, None, length=n)
@@ -129,7 +126,6 @@ def main() -> None:
         f"  - physics        : {(t5_notr - t5_off) / 4 * 1e3:7.2f} ms\n"
         f"  - loop scaffold  : {(t5_off - t1) / 4 * 1e3:7.2f} ms"
     )
-    os.environ.pop("CMR_MEGA_DEBUG", None)
 
 
 if __name__ == "__main__":
