@@ -509,6 +509,9 @@ def _make_kernel(
                     py = DZ * e2xj - DX * e2zj
                     pz = DX * e2yj - DY * e2xj
                     det = e1xj * px + e1yj * py + e1zj * pz
+                    # (An approx-reciprocal + Newton variant measured
+                    # SLOWER than this divide: 5.38 vs 5.00 ms/bounce —
+                    # Mosaic's f32 divide is already cheap.)
                     inv_det = 1.0 / jnp.where(
                         jnp.abs(det) > 1e-12, det, jnp.float32(1e30)
                     )

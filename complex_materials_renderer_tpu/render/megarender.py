@@ -247,39 +247,12 @@ def render_beauty_mega(
         debug=debug,
     )
 
-    def one_sample(carry, sample_idx):
-        rng_state, acc = carry
-        if rng_mode == "counter":
-            rng_state = rng_ops.seed_counter(
-                linear_t, sample_idx + jnp.asarray(sample_offset, jnp.uint32)
-            )
-        rng_state, j1 = rng_ops.next_float(rng_state)
-        rng_state, j2 = rng_ops.next_float(rng_state)
-        jitter = jnp.stack([j1, j2], axis=-1)
-        org, direction = generate_rays(
-            camera, pixel_xy_t, jitter, (full_w, full_h)
-        )
-        state = fresh_state(org, direction, rng_state)
-        if rp != r:
-            padn = rp - r
-            state = MegaState(
-                org=jnp.concatenate([state.org, jnp.zeros((padn, 3))]),
-                dir=jnp.concatenate(
-                    [state.dir, jnp.ones((padn, 3), jnp.float32)]
-                ),
-                thr=jnp.concatenate([state.thr, jnp.zeros((padn, 3))]),
-                rad=jnp.concatenate([state.rad, jnp.zeros((padn, 3))]),
-                rng=jnp.concatenate([state.rng, jnp.zeros((padn,), jnp.uint32)]),
-                depth=jnp.concatenate([state.depth, jnp.zeros((padn,), jnp.int32)]),
-                alive=jnp.concatenate([state.alive, jnp.zeros((padn,), bool)]),
-            )
-        # Lane ids address the bank buffers; pads point at the spill row r.
-        lane = jnp.concatenate(
-            [jnp.arange(r, dtype=jnp.int32), jnp.full((rp - r,), r, jnp.int32)]
-        )
-        # Banked results, indexed by lane id (+1 spill row for pads).
-        rad_bank = jnp.zeros((r + 1, 3), jnp.float32)
-        rng_bank = jnp.zeros((r + 1,), jnp.uint32)
+    def _advance(state, lane, bank_rows):
+        """Run the wavefront to termination (dynamic or static phase
+        schedule) and return (radiance, rng) banked by lane id —
+        ``bank_rows`` real rows plus one spill row for pad lanes."""
+        rad_bank = jnp.zeros((bank_rows + 1, 3), jnp.float32)
+        rng_bank = jnp.zeros((bank_rows + 1,), jnp.uint32)
 
         if dynamic != "off":
             # Dynamic-width modes: lane arrays keep their full shape and
@@ -322,9 +295,7 @@ def render_beauty_mega(
                 )
             rad_bank = rad_bank.at[lane].set(state.rad)
             rng_bank = rng_bank.at[lane].set(state.rng)
-            rad_t = rad_bank[:r]
-            rng_t = rng_bank[:r]
-            return (rng_t, acc + rad_t), None
+            return rad_bank[:bank_rows], rng_bank[:bank_rows]
 
         for i, (w, cap) in enumerate(sched):
             if i == 0:
@@ -359,20 +330,136 @@ def render_beauty_mega(
 
         rad_bank = rad_bank.at[lane].set(state.rad)
         rng_bank = rng_bank.at[lane].set(state.rng)
-        rad_t = rad_bank[:r]
-        rng_t = rng_bank[:r]
-        return (rng_t, acc + rad_t), None
+        return rad_bank[:bank_rows], rng_bank[:bank_rows]
 
-    seed0 = (
-        jnp.take(rng_state, perm, axis=0)
-        if rng_state is not None
-        else rng_ops.seed_from_pixel(linear_t)
-    )
-    (final_rng, acc), _ = jax.lax.scan(
-        one_sample,
-        (seed0, jnp.zeros((r, 3), jnp.float32)),
-        jnp.arange(num_samples, dtype=jnp.uint32),
-    )
+    if rng_mode == "counter":
+        # SAMPLE-PACKED LANES: the counter RNG derives each (pixel,
+        # sample) stream independently, so lanes need not be one sample
+        # of every pixel. Packing SG sample-lanes per pixel shrinks a
+        # 1024-lane kernel block's pixel footprint from a 32x32 tile to
+        # BLOCK/SG pixels — primary rays in a block become near-parallel
+        # and the widest (first-bounce) traversals cull much harder.
+        # Each scan step covers PG pixels x SG samples = the same lane
+        # count as before; total steps are unchanged.
+        SG = 1
+        for cand_sg in (16, 8, 4, 2):
+            if num_samples % cand_sg == 0 and rp % cand_sg == 0:
+                SG = cand_sg
+                break
+        PG = rp // SG  # pixels per step
+        n_groups = -(-r // PG)
+        k = num_samples // SG  # sample chunks per pixel group
+        pad_px = n_groups * PG - r
+        if pad_px:
+            pix_pad = jnp.concatenate(
+                [pixel_xy_t, jnp.zeros((pad_px, 2), pixel_xy_t.dtype)]
+            )
+            lin_pad = jnp.concatenate(
+                [linear_t, jnp.zeros((pad_px,), linear_t.dtype)]
+            )
+            val_pad = jnp.concatenate(
+                [jnp.ones((r,), bool), jnp.zeros((pad_px,), bool)]
+            )
+        else:
+            pix_pad, lin_pad = pixel_xy_t, linear_t
+            val_pad = jnp.ones((r,), bool)
+
+        def one_step(acc, t):
+            g = t // k
+            c = t % k
+            base = g * PG
+            pixg = jax.lax.dynamic_slice(pix_pad, (base, 0), (PG, 2))
+            ling = jax.lax.dynamic_slice(lin_pad, (base,), (PG,))
+            valg = jax.lax.dynamic_slice(val_pad, (base,), (PG,))
+            pix_lane = jnp.repeat(pixg, SG, axis=0)
+            lin_lane = jnp.repeat(ling, SG, axis=0)
+            val_lane = jnp.repeat(valg, SG, axis=0)
+            s_lane = (
+                jnp.tile(jnp.arange(SG, dtype=jnp.uint32), PG)
+                + jnp.uint32(c * SG)
+                + jnp.asarray(sample_offset, jnp.uint32)
+            )
+            rng0 = rng_ops.seed_counter(lin_lane, s_lane)
+            rng0, j1 = rng_ops.next_float(rng0)
+            rng0, j2 = rng_ops.next_float(rng0)
+            org, direction = generate_rays(
+                camera, pix_lane, jnp.stack([j1, j2], -1), (full_w, full_h)
+            )
+            state = fresh_state(org, direction, rng0)
+            state = state._replace(alive=state.alive & val_lane)
+            lane = jnp.arange(rp, dtype=jnp.int32)
+            rad_step, _ = _advance(state, lane, rp)
+            per_px = rad_step.reshape(PG, SG, 3).sum(axis=1)
+            per_px = jnp.where(valg[:, None], per_px, 0.0)
+            cur = jax.lax.dynamic_slice(acc, (base, 0), (PG, 3))
+            return (
+                jax.lax.dynamic_update_slice(acc, cur + per_px, (base, 0)),
+                None,
+            )
+
+        acc0 = jnp.zeros((n_groups * PG, 3), jnp.float32)
+        acc, _ = jax.lax.scan(
+            one_step, acc0, jnp.arange(n_groups * k, dtype=jnp.int32)
+        )
+        acc = acc[:r]
+        # Counter streams are re-derived per (pixel, sample); the carried
+        # rng is never consumed on resume — return the next chunk's seed
+        # position as a deterministic placeholder.
+        final_rng = rng_ops.seed_counter(
+            linear_t,
+            jnp.asarray(sample_offset, jnp.uint32) + jnp.uint32(num_samples),
+        )
+    else:
+
+        def one_sample(carry, _sample_idx):
+            rng_state, acc = carry
+            rng_state, j1 = rng_ops.next_float(rng_state)
+            rng_state, j2 = rng_ops.next_float(rng_state)
+            jitter = jnp.stack([j1, j2], axis=-1)
+            org, direction = generate_rays(
+                camera, pixel_xy_t, jitter, (full_w, full_h)
+            )
+            state = fresh_state(org, direction, rng_state)
+            if rp != r:
+                padn = rp - r
+                state = MegaState(
+                    org=jnp.concatenate([state.org, jnp.zeros((padn, 3))]),
+                    dir=jnp.concatenate(
+                        [state.dir, jnp.ones((padn, 3), jnp.float32)]
+                    ),
+                    thr=jnp.concatenate([state.thr, jnp.zeros((padn, 3))]),
+                    rad=jnp.concatenate([state.rad, jnp.zeros((padn, 3))]),
+                    rng=jnp.concatenate(
+                        [state.rng, jnp.zeros((padn,), jnp.uint32)]
+                    ),
+                    depth=jnp.concatenate(
+                        [state.depth, jnp.zeros((padn,), jnp.int32)]
+                    ),
+                    alive=jnp.concatenate(
+                        [state.alive, jnp.zeros((padn,), bool)]
+                    ),
+                )
+            # Pad lanes point at the bank's spill row r.
+            lane = jnp.concatenate(
+                [
+                    jnp.arange(r, dtype=jnp.int32),
+                    jnp.full((rp - r,), r, jnp.int32),
+                ]
+            )
+            rad_t, rng_t = _advance(state, lane, r)
+            return (rng_t, acc + rad_t), None
+
+        seed0 = (
+            jnp.take(rng_state, perm, axis=0)
+            if rng_state is not None
+            else rng_ops.seed_from_pixel(linear_t)
+        )
+        (final_rng, acc), _ = jax.lax.scan(
+            one_sample,
+            (seed0, jnp.zeros((r, 3), jnp.float32)),
+            jnp.arange(num_samples, dtype=jnp.uint32),
+        )
+
     img = jnp.take(acc, inv, axis=0).reshape(height, width, 3) / jnp.float32(
         num_samples
     )

@@ -150,6 +150,27 @@ def test_mega_debug_knob_takes_effect():
 
 
 @pytest.mark.slow
+def test_mega_counter_sample_packing_matches():
+    """Counter mode packs SG sample-lanes per pixel (pixel-group scan).
+    The per-(pixel, sample) streams are derived identically, so the image
+    must match the wavefront engine's counter render to float noise —
+    including the pixel-group padding path (r < PG)."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1, rng_mode="counter")
+    cam, lights = fixture_camera(), fixture_lights()
+    img_m = np.asarray(
+        render_beauty_mega(cam, scene, grid, lights, (8, 8), 4, **kw)
+    )
+    img_w = np.asarray(
+        render_beauty(cam, scene, grid, lights, (8, 8), 4, **kw)
+    )
+    assert np.all(np.isfinite(img_m))
+    np.testing.assert_allclose(img_m, img_w, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_mega_ordered_traversal_matches():
     """The retained CMR_MEGA_DEBUG=ordered ablation (nearest-first
     ordered walk) must render the same image as the default linear
