@@ -29,12 +29,19 @@ import numpy as np
 TARGET_MPATHS = 50.0  # BASELINE.json north-star, v5e
 
 
-def _golden_rmse() -> float:
+def _golden_rmse() -> dict:
     """Render the showcase golden config (64x64@4, parity RNG) with the
     MEGA engine on the real chip and compare against the committed CPU
     golden — the per-round record of TPU-vs-golden drift (the committed
     corpus is CPU-rendered; this is the only artifact comparing the
-    flagship engine's hardware output against it)."""
+    flagship engine's hardware output against it).
+
+    Reports both the RMSE and the count of decision-flip pixels
+    (|diff| > 1e-2): the committed golden uses the CPU bvh backend, so a
+    knife-edge hit or Fresnel draw can resolve differently across
+    backends and flip a whole pixel at 4 spp — measured r3: the entire
+    1.8e-3 RMSE came from 2/4096 such pixels, every other pixel agreeing
+    below 1e-3."""
     from complex_materials_renderer_tpu.tools.goldens import (
         load_golden,
         rmse,
@@ -45,7 +52,7 @@ def _golden_rmse() -> float:
 
     golden = load_golden("showcase")
     if golden is None:
-        return float("nan")
+        return {"golden_rmse": "no golden"}
     opt = RenderOptions()
     opt.obj_path = "scenes/showcase.obj"
     opt.width = opt.height = 64
@@ -54,8 +61,12 @@ def _golden_rmse() -> float:
     opt.shard = "none"
     opt.engine = "mega"
     scene = load_scene(opt.obj_path, opt)
-    img = Renderer(scene, scene.options).render()
-    return rmse(np.asarray(img), golden)
+    img = np.asarray(Renderer(scene, scene.options).render())
+    flips = int((np.abs(img.astype(np.float64) - golden).max(-1) > 1e-2).sum())
+    return {
+        "golden_rmse": round(rmse(img, golden), 6),
+        "golden_flip_pixels": flips,
+    }
 
 
 def _preview_cold_s() -> dict:
@@ -63,7 +74,11 @@ def _preview_cold_s() -> dict:
     process, end-to-end wall time — the reference's zero-compile launch
     is the bar (main.cpp:271-291). Two runs: the first may pay Mosaic
     compiles, the second measures the steady cold-start with the
-    persistent compilation cache populated."""
+    persistent compilation cache populated.
+
+    MUST run before this process touches the TPU: the chip is reached
+    through a single-client tunnel, and a parent process holding the
+    device starves the subprocess (measured: >900 s vs 117 s clean)."""
     cmd = [
         sys.executable, "-m", "complex_materials_renderer_tpu",
         "-s", "8", "--width", "128", "--height", "128",
@@ -116,6 +131,13 @@ def main() -> None:
     )
 
     enable_persistent_cache()
+    # Preview cold-start FIRST: the subprocess must own the chip alone
+    # (see _preview_cold_s).
+    try:
+        preview = _preview_cold_s()
+    except Exception as e:
+        preview = {"preview_cold_s": f"error: {type(e).__name__}"}
+
     primary = _bench_scene("scenes/showcase.obj", 512, 512, 16)
 
     # Side configs run a 4-width phase schedule (~5 min of Mosaic compile
@@ -140,13 +162,9 @@ def main() -> None:
     os.environ.pop("CMR_MEGA_SCHED", None)
 
     try:
-        golden_rmse = round(_golden_rmse(), 6)
+        golden = _golden_rmse()
     except Exception as e:
-        golden_rmse = f"error: {type(e).__name__}"
-    try:
-        preview = _preview_cold_s()
-    except Exception as e:
-        preview = {"preview_cold_s": f"error: {type(e).__name__}"}
+        golden = {"golden_rmse": f"error: {type(e).__name__}"}
 
     print(
         json.dumps(
@@ -156,7 +174,7 @@ def main() -> None:
                 "unit": "Mpaths/s",
                 "vs_baseline": round(primary / TARGET_MPATHS, 4),
                 "configs": configs,
-                "golden_rmse": golden_rmse,
+                **golden,
                 **preview,
             }
         )
