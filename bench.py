@@ -132,13 +132,6 @@ def main() -> None:
     )
 
     enable_persistent_cache()
-    # Preview cold-start FIRST, while this process's jit caches are
-    # empty (see _preview_cold_s).
-    try:
-        preview = _preview_cold_s()
-    except Exception as e:
-        preview = {"preview_cold_s": f"error: {type(e).__name__}"}
-
     primary = _bench_scene("scenes/showcase.obj", 512, 512, 16)
 
     # Side configs run a 4-width phase schedule (~5 min of Mosaic compile
@@ -166,6 +159,16 @@ def main() -> None:
         golden = _golden_rmse()
     except Exception as e:
         golden = {"golden_rmse": f"error: {type(e).__name__}"}
+
+    # Preview cold-start LAST: its dominant cost is compile-service
+    # latency (measured 25 s to 1079 s for identical work), and a slow
+    # grant must not precede the throughput measurements. Its jit
+    # signature (16384-lane dynamic pass) is unique in this process, so
+    # it still measures a cold in-process compile.
+    try:
+        preview = _preview_cold_s()
+    except Exception as e:
+        preview = {"preview_cold_s": f"error: {type(e).__name__}"}
 
     print(
         json.dumps(

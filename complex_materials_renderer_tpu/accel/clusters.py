@@ -44,7 +44,6 @@ class ClusterGrid(NamedTuple):
     e2z: np.ndarray
     bounds: np.ndarray  # (C, 8): min xyz, max xyz, pad, pad
     super_bounds: np.ndarray  # (S, 8) AABBs over groups of SUPER_FACTOR clusters
-    sub_bounds: np.ndarray  # (C * subs_per_cluster, 8) AABBs over SUB_SIZE-tri runs
     tri_index: np.ndarray  # (C*128,) original triangle id per slot; -1 = pad
     mat_id: np.ndarray  # (C, 128) per-slot material id; -1 on pad slots
     # Opaque/media segregation (0 when unpartitioned): clusters/supers
@@ -256,22 +255,9 @@ def build_clusters(
         super_bounds[s, 0:3] = grp[live, 0:3].min(axis=0)
         super_bounds[s, 3:6] = grp[live, 3:6].max(axis=0)
 
-    # Third culling level: AABBs over SUB_SIZE-triangle runs inside each
-    # cluster, letting the kernel's statically unrolled triangle loop skip
-    # whole runs with a scalar branch. Empty (all-pad) runs get the same
-    # far-away point box as empty clusters (see above).
-    subs = max(1, cluster_size // SUB_SIZE)
-    sub_bounds = np.zeros((num_clusters * subs, 8), np.float32)
-    sub_bounds[:, 0:6] = np.float32(1e30)
-    for c in range(num_clusters):
-        for g in range(subs):
-            s0 = c * cluster_size + g * SUB_SIZE
-            run = tri_index[s0 : s0 + SUB_SIZE] >= 0
-            if not np.any(run):
-                continue
-            member = packed[s0 : s0 + SUB_SIZE][run]
-            sub_bounds[c * subs + g, 0:3] = member.min(axis=(0, 1))
-            sub_bounds[c * subs + g, 3:6] = member.max(axis=(0, 1))
+    # (A third, sub-run culling level was built here through round 3 and
+    # removed: per-run AABB gating measured slower than straight-line
+    # triangle arithmetic at every granularity — see NOTES.md round-3.)
 
     def field(vi, ci):
         return np.ascontiguousarray(comp[:, :, vi, ci])
@@ -285,7 +271,6 @@ def build_clusters(
         e2x=edge(2, 0), e2y=edge(2, 1), e2z=edge(2, 2),
         bounds=bounds,
         super_bounds=super_bounds,
-        sub_bounds=sub_bounds,
         tri_index=tri_index,
         mat_id=mats.reshape(num_clusters, cluster_size),
         num_opaque_clusters=num_opaque_clusters,

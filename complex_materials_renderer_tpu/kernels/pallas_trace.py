@@ -44,7 +44,7 @@ BLOCK_RAYS = 1024  # 8 sublanes x 128 lanes
     jax.tree_util.register_dataclass,
     data_fields=[
         "v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
-        "bounds", "super_bounds", "sub_bounds", "tri_index", "mat",
+        "bounds", "super_bounds", "tri_index", "mat",
         "run_rows",
     ],
     meta_fields=[
@@ -65,16 +65,15 @@ class DeviceClusterGrid:
     e2z: jnp.ndarray
     bounds: jnp.ndarray  # (C, 8) SMEM-bound cluster AABBs
     super_bounds: jnp.ndarray  # (S, 8) SMEM-bound super-cluster AABBs
-    sub_bounds: jnp.ndarray  # (C*subs, 8) in-cluster sub-group AABBs
     tri_index: jnp.ndarray  # (C*128,) slot -> original triangle id
     mat: jnp.ndarray  # (C, 128) per-slot material id (float32 on device)
-    # Run-major triangle rows for the megakernel's range-culled inner
-    # loop: one row per SUB_SIZE-triangle run, 10 components strided by
-    # run_size — [v0x*r, v0y*r, v0z*r, e1x*r, e1y*r, e1z*r, e2x*r,
-    # e2y*r, e2z*r, mat*r], lane-padded to a multiple of 128. One
-    # dynamic ROW read fetches a whole run; extracts within the row are
-    # static, so a fori_loop with TRACED bounds can walk just the runs
-    # the ray block actually enters.
+    # Run-major triangle rows — the megakernel's triangle table: one row
+    # per SUB_SIZE-triangle run, 10 components strided by run_size —
+    # [v0x*r, v0y*r, v0z*r, e1x*r, e1y*r, e1z*r, e2x*r, e2y*r, e2z*r,
+    # mat*r], lane-padded to a multiple of 128. One dynamic ROW read
+    # fetches a whole run (vs 10 per-component reads per cluster);
+    # extracts within the row are static. Measured 5.38 vs 5.90
+    # ms/bounce against the per-component layout (NOTES.md round 3).
     run_rows: jnp.ndarray  # (C * runs_per_cluster, row_width)
     num_clusters: int
     num_supers: int
@@ -127,7 +126,6 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         e2x=jnp.asarray(grid.e2x), e2y=jnp.asarray(grid.e2y), e2z=jnp.asarray(grid.e2z),
         bounds=jnp.asarray(grid.bounds),
         super_bounds=jnp.asarray(grid.super_bounds),
-        sub_bounds=jnp.asarray(grid.sub_bounds),
         tri_index=jnp.asarray(grid.tri_index),
         # Material ids ride as float32 so every update is a same-type
         # vector select; ids are small ints, exactly representable.
