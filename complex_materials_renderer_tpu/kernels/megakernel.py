@@ -374,6 +374,16 @@ def _make_kernel(
         lir = misc_ref[3]
         lig = misc_ref[4]
         lib = misc_ref[5]
+        # Loop-invariant media mat-ids (scalars) for the NEE sweep's
+        # per-triangle opaque/media split; -1 rows never match.
+        med_ids = [media_ref[mi, 0] for mi in range(M)]
+
+        def is_media_mat(mat_scalar):
+            """Scalar: does this material id have a medium entry?"""
+            m = jnp.bool_(False)
+            for mid in med_ids:
+                m = m | ((mat_scalar == mid) & (mid >= 0.0))
+            return m
 
         def slab_entry_scalars(
             bx0, by0, bz0, bx1, by1, bz1, OX, OY, OZ, IX, IY, IZ, TMAX
@@ -414,12 +424,23 @@ def _make_kernel(
 
             payload: 'full' -> closest hit (t, slot, u, v, nx, ny, nz,
                                mat, px, py, pz)
-                     'nee'  -> K_NEE nearest hits (t_0..t_{K-1} ascending,
-                               m_0..m_{K-1}): ONE sweep collects every
-                               boundary the shadow march needs, replacing
-                               the reference's chain of per-leg ray
-                               queries (volpath:353-412) with a sorted
-                               insertion per triangle hit
+                     'nee'  -> K_NEE nearest MEDIA boundaries
+                               (t_0..t_{K-1} ascending, m_0..m_{K-1})
+                               plus t_opq, the nearest OPAQUE hit: ONE
+                               sweep collects every boundary the shadow
+                               march needs, replacing the reference's
+                               chain of per-leg ray queries
+                               (volpath:353-412) with a sorted insertion
+                               per media-triangle hit. Opaque triangles
+                               bypass the list (a per-leg query would
+                               only ever surface the nearest one, which
+                               occludes) and instead shrink t_opq —
+                               which doubles as a closest-hit-style
+                               early-termination bound for the walk:
+                               min(t_opq, K-th tracked) is the live
+                               bound, so opaque-heavy scenes cull like
+                               a closest-hit trace instead of walking
+                               everything toward the light.
                      'dist' -> closest hit (t, slot)
                      'occl' -> closest hit distance only (t,)
             t == per-lane TMAX on miss; slot/mat == -1. Dead lanes are
@@ -457,7 +478,8 @@ def _make_kernel(
                 state0 = (TMAX, neg1, zeros, zeros, zeros, zeros,
                           jnp.ones_like(OX), neg1, zeros, zeros, zeros)
             elif payload == "nee":
-                state0 = tuple([TMAX] * K_NEE) + tuple([neg1] * K_NEE)
+                # K sorted media-boundary slots + their mats + t_opq.
+                state0 = tuple([TMAX] * K_NEE) + tuple([neg1] * K_NEE) + (TMAX,)
             elif payload == "occl":
                 state0 = (TMAX,)
             else:
@@ -466,8 +488,11 @@ def _make_kernel(
             def bound_of(state):
                 """Early-exit bound: the worst tracked hit — for a
                 closest-hit walk that is t_best; for the multi-hit sweep
-                the K-th smallest."""
-                return state[K_NEE - 1] if payload == "nee" else state[0]
+                min(K-th smallest media boundary, nearest opaque hit):
+                nothing beyond the nearest opaque occluder can matter."""
+                if payload == "nee":
+                    return jnp.minimum(state[K_NEE - 1], state[2 * K_NEE])
+                return state[0]
 
             def test_cluster(c, state):
                 """Statically unrolled cluster test over run-major rows.
@@ -525,17 +550,29 @@ def _make_kernel(
                     vv = (DX * qx + DY * qy + DZ * qz) * inv_det
                     tt = (e2xj * qx + e2yj * qy + e2zj * qz) * inv_det
                     if payload == "nee":
-                        # Sorted insertion into the K nearest-hit list:
-                        # bubble (cand_t, cand_m) down; each slot costs a
-                        # compare + min/max + two selects.
+                        # Opaque/media split at the TRIANGLE level: the
+                        # material id is a per-run scalar, so the media
+                        # check costs ~2 scalar ops on the scalar unit.
+                        # Media boundaries bubble into the K sorted
+                        # slots; opaque hits only shrink t_opq (per-leg
+                        # queries would never surface more than the
+                        # nearest opaque hit — it occludes), which both
+                        # frees list slots and tightens bound_of.
                         ts = list(state[:K_NEE])
-                        ms = list(state[K_NEE:])
-                        valid = (
+                        ms = list(state[K_NEE : 2 * K_NEE])
+                        t_opq = state[2 * K_NEE]
+                        med = is_media_mat(mat_j)
+                        valid_geom = (
                             (uu >= -eps)
                             & (vv >= -eps)
                             & (uu + vv <= 1.0 + eps)
                             & (tt > t_min)
-                            & (tt < ts[-1])
+                        )
+                        t_opq = jnp.where(
+                            valid_geom & ~med & (tt < t_opq), tt, t_opq
+                        )
+                        valid = (
+                            valid_geom & med & (tt < ts[-1]) & (tt < t_opq)
                         )
                         cand_t = jnp.where(valid, tt, _INF)
                         cand_m = jnp.full_like(tt, mat_j)
@@ -547,7 +584,7 @@ def _make_kernel(
                             ms[i] = jnp.where(lt, cand_m, old_m)
                             cand_t = jnp.maximum(cand_t, old_t)
                             cand_m = jnp.where(lt, old_m, cand_m)
-                        return tuple(ts) + tuple(ms)
+                        return tuple(ts) + tuple(ms) + (t_opq,)
                     t_best = state[0]
                     improved = (
                         (uu >= -eps)
@@ -722,13 +759,17 @@ def _make_kernel(
             get the 0.999 light-distance epsilon (volpath:361), exit legs
             the T_MIN floor, duplicate boundaries within T_MIN of the
             previous one are skipped by the leg logic like per-leg
-            queries with a T_MIN ray offset would skip them. One known
-            divergence from per-leg queries: a skipped duplicate still
-            OCCUPIES one of the K = 2*nee_max_media list slots (the
-            reference's per-leg ray offset never surfaces it), so scenes
-            with coincident/double-faced media shells can exhaust the
-            list early and fail dark where per-leg marching resolves;
-            raise --nee-bound for such scenes. Draws no RNG. Unresolved
+            queries with a T_MIN ray offset would skip them. Opaque hits
+            never consume list slots (the sweep routes them to a
+            separate nearest-opaque track, like per-leg queries which
+            only ever surface the nearest one). One known divergence
+            from per-leg queries remains: a skipped duplicate MEDIA
+            boundary still OCCUPIES one of the K = 2*nee_max_media list
+            slots (the reference's per-leg ray offset never surfaces
+            it), so scenes with coincident/double-faced media shells can
+            exhaust the list early and fail dark where per-leg marching
+            resolves; raise --nee-bound for such scenes. Draws no RNG.
+            Unresolved
             marches (every list entry consumed as a boundary) fail dark,
             matching the wavefront engine's bounded-march semantics."""
             tlx = lx - px
@@ -747,18 +788,21 @@ def _make_kernel(
             if S_OPQ > 0:
                 # Partitioned grid: nearest opaque occluder from a cheap
                 # closest-hit walk over the opaque supers; the K-list
-                # sweep only collects boundaries from the media supers.
-                (t_op,) = traverse(
+                # sweep only collects boundaries from the media supers
+                # (plus any opaque strays living in mixed clusters, via
+                # its own t_opq track).
+                (t_op_w,) = traverse(
                     px, py, pz, ldx, ldy, ldz, eff, "occl", 0, S_OPQ
                 )
                 hits = traverse(
                     px, py, pz, ldx, ldy, ldz, eff, "nee", S_OPQ, S
                 )
+                t_op = jnp.minimum(t_op_w, hits[2 * K_NEE])
             else:
-                t_op = jnp.full_like(px, _INF)
                 hits = traverse(px, py, pz, ldx, ldy, ldz, eff, "nee")
+                t_op = hits[2 * K_NEE]
             ts = hits[:K_NEE]
-            ms = hits[K_NEE:]
+            ms = hits[K_NEE : 2 * K_NEE]
 
             ones = jnp.ones_like(px)
             tr_r = ones
@@ -782,10 +826,10 @@ def _make_kernel(
                     last_t + 0.999 * rem,
                 )
                 window = jnp.minimum(cut, eff)
-                # Partitioned grids track the nearest opaque hit
-                # separately: it occludes when it falls inside this leg's
-                # window before the next media boundary (the per-leg query
-                # would have returned it as the closest hit).
+                # The sweep tracks the nearest opaque hit separately: it
+                # occludes when it falls inside this leg's window before
+                # the next media boundary (the per-leg query would have
+                # returned it as the closest hit — volpath:372).
                 opq = (
                     running
                     & (t_op > last_t + t_min)
@@ -799,15 +843,13 @@ def _make_kernel(
                 consider = running & ~dup
                 real = consider & (t_i < window)
                 ended = consider & ~real  # miss: march resolves, trans kept
-                (has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, _g2, _i2) = (
+                (_has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, _g2, _i2) = (
                     media_scan(m_i)
                 )
-                occl = real & ~has  # opaque surface occludes (volpath:372)
-                tr_r = jnp.where(occl, 0.0, tr_r)
-                tr_g = jnp.where(occl, 0.0, tr_g)
-                tr_b = jnp.where(occl, 0.0, tr_b)
 
-                boundary = real & has
+                # Every real list entry IS a media boundary (opaque hits
+                # bypass the list in the sweep).
+                boundary = real
                 exitl = boundary & in_med
                 seg = jnp.minimum(t_i - last_t, rem)
                 a_r = 0.9 * jnp.exp(-ex_r * seg)
@@ -823,7 +865,7 @@ def _make_kernel(
                 ex_b = jnp.where(enterl, ss_b + sa_b, ex_b)
                 last_t = jnp.where(boundary, t_i, last_t)
                 in_med = in_med ^ boundary  # toggle enter<->exit
-                running = running & ~(ended | occl)
+                running = running & ~ended
 
             # List exhausted while still marching: fail dark.
             tr_r = jnp.where(running, 0.0, tr_r)
