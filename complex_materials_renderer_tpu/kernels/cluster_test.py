@@ -1,0 +1,192 @@
+"""Shared per-cluster triangle tester for the Pallas traversal kernels.
+
+ONE source of truth for the hot inner loop: the statically-unrolled
+128-triangle Moller-Trumbore test over run-major rows, including every
+payload variant ('full' closest hit with shading payload, 'dist'/'occl'
+distance-only, and the 'nee' multi-hit K-list sweep with the opaque
+early-exit track). Both the fused megakernel (kernels/megakernel.py) and
+the binned per-lane tracer (kernels/binned_trace.py) build their
+traversals from these factories, so the two engines' intersection
+semantics are identical by construction.
+
+Replaces the reference's hardware ray-query triangle stage
+(volpath.comp.glsl:612-629); see kernels/megakernel.py for the measured
+design rationale (why straight-line arithmetic, why run-major rows, why
+no finer-grained culling).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_INF = np.float32(3e38)
+
+
+def payload_state0(payload: str, TMAX, K_NEE: int = 0):
+    """Initial traversal state for a payload kind.
+
+    'full' -> (t, slot, u, v, nx, ny, nz, mat, px, py, pz)
+    'nee'  -> K_NEE sorted media-boundary ts + their mats + t_opq
+    'dist' -> (t, slot);  'occl' -> (t,)
+    t == per-lane TMAX on miss; slot/mat == -1.
+    """
+    zeros = jnp.zeros_like(TMAX)
+    neg1 = jnp.full_like(TMAX, -1.0)
+    if payload == "full":
+        return (TMAX, neg1, zeros, zeros, zeros, zeros,
+                jnp.ones_like(TMAX), neg1, zeros, zeros, zeros)
+    if payload == "nee":
+        return tuple([TMAX] * K_NEE) + tuple([neg1] * K_NEE) + (TMAX,)
+    if payload == "occl":
+        return (TMAX,)
+    return (TMAX, neg1)
+
+
+def payload_bound(payload: str, state, K_NEE: int = 0):
+    """Early-exit bound: the worst tracked hit — t_best for closest-hit
+    payloads; min(K-th smallest media boundary, nearest opaque hit) for
+    the multi-hit sweep (nothing beyond the nearest opaque occluder can
+    matter)."""
+    if payload == "nee":
+        return jnp.minimum(state[K_NEE - 1], state[2 * K_NEE])
+    return state[0]
+
+
+def make_cluster_tester(
+    runs_ref,
+    subs: int,
+    run: int,
+    payload: str,
+    K_NEE: int,
+    med_ids,
+    t_min,
+):
+    """Build ``test_cluster(c, rays, state) -> state`` over run-major rows.
+
+    ``rays`` = (OX, OY, OZ, DX, DY, DZ) lane tiles; ``c`` is a (traced)
+    cluster index; ``med_ids`` the loop-invariant media material-id
+    scalars for the 'nee' payload's per-triangle opaque/media split.
+
+    The run-major table (one row per SUB_SIZE-triangle run) replaces 10
+    per-cluster dynamic row reads with one per run and keeps every
+    extract static — measured 5.38 vs 5.90 ms/bounce (NOTES.md round 3).
+    FINER-GRAINED CULLING IS A MEASURED DEAD END on this hardware: a
+    traced-trip-count fori_loop over entering runs costs 8.66 vs 5.38
+    ms/bounce and a per-run scalar lax.cond 10.0 vs 5.4 (each cond ~500
+    cycles at this carried-state size). Only cluster granularity (128
+    triangles ~ 4.3k cycles) amortizes a branch; below that,
+    straight-line arithmetic wins.
+    """
+    eps = jnp.float32(1e-6)
+
+    def is_media_mat(mat_scalar):
+        m = jnp.bool_(False)
+        for mid in med_ids:
+            m = m | ((mat_scalar == mid) & (mid >= 0.0))
+        return m
+
+    def test_cluster(c, rays, state):
+        OX, OY, OZ, DX, DY, DZ = rays
+
+        def tri_step(row, r_off, j, state):
+            ax = row[0 * run + j]
+            ay = row[1 * run + j]
+            az = row[2 * run + j]
+            e1xj = row[3 * run + j]
+            e1yj = row[4 * run + j]
+            e1zj = row[5 * run + j]
+            e2xj = row[6 * run + j]
+            e2yj = row[7 * run + j]
+            e2zj = row[8 * run + j]
+            mat_j = row[9 * run + j]
+
+            # Moller-Trumbore: one triangle vs 1024 rays. (An
+            # approx-reciprocal + Newton variant measured SLOWER than
+            # this divide: Mosaic's f32 divide is already cheap.)
+            px = DY * e2zj - DZ * e2yj
+            py = DZ * e2xj - DX * e2zj
+            pz = DX * e2yj - DY * e2xj
+            det = e1xj * px + e1yj * py + e1zj * pz
+            inv_det = 1.0 / jnp.where(
+                jnp.abs(det) > 1e-12, det, jnp.float32(1e30)
+            )
+            sx = OX - ax
+            sy = OY - ay
+            sz = OZ - az
+            uu = (sx * px + sy * py + sz * pz) * inv_det
+            qx = sy * e1zj - sz * e1yj
+            qy = sz * e1xj - sx * e1zj
+            qz = sx * e1yj - sy * e1xj
+            vv = (DX * qx + DY * qy + DZ * qz) * inv_det
+            tt = (e2xj * qx + e2yj * qy + e2zj * qz) * inv_det
+            if payload == "nee":
+                # Opaque/media split at the TRIANGLE level: the material
+                # id is a per-run scalar, so the media check costs ~2
+                # scalar ops. Media boundaries bubble into the K sorted
+                # slots; opaque hits only shrink t_opq (per-leg queries
+                # would never surface more than the nearest opaque hit —
+                # it occludes), which both frees list slots and tightens
+                # payload_bound.
+                ts = list(state[:K_NEE])
+                ms = list(state[K_NEE : 2 * K_NEE])
+                t_opq = state[2 * K_NEE]
+                med = is_media_mat(mat_j)
+                valid_geom = (
+                    (uu >= -eps)
+                    & (vv >= -eps)
+                    & (uu + vv <= 1.0 + eps)
+                    & (tt > t_min)
+                )
+                t_opq = jnp.where(
+                    valid_geom & ~med & (tt < t_opq), tt, t_opq
+                )
+                valid = valid_geom & med & (tt < ts[-1]) & (tt < t_opq)
+                cand_t = jnp.where(valid, tt, _INF)
+                cand_m = jnp.full_like(tt, mat_j)
+                for i in range(K_NEE):
+                    old_t = ts[i]
+                    old_m = ms[i]
+                    lt = cand_t < old_t
+                    ts[i] = jnp.minimum(cand_t, old_t)
+                    ms[i] = jnp.where(lt, cand_m, old_m)
+                    cand_t = jnp.maximum(cand_t, old_t)
+                    cand_m = jnp.where(lt, old_m, cand_m)
+                return tuple(ts) + tuple(ms) + (t_opq,)
+            t_best = state[0]
+            improved = (
+                (uu >= -eps)
+                & (vv >= -eps)
+                & (uu + vv <= 1.0 + eps)
+                & (tt > t_min)
+                & (tt < t_best)
+            )
+            t_best = jnp.where(improved, tt, t_best)
+            if payload == "full":
+                (_, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = state
+                slot = jnp.where(improved, r_off + j, slot)
+                ub = jnp.where(improved, uu, ub)
+                vb = jnp.where(improved, vv, vb)
+                nxb = jnp.where(improved, e1yj * e2zj - e1zj * e2yj, nxb)
+                nyb = jnp.where(improved, e1zj * e2xj - e1xj * e2zj, nyb)
+                nzb = jnp.where(improved, e1xj * e2yj - e1yj * e2xj, nzb)
+                mb = jnp.where(improved, mat_j, mb)
+                pxb = jnp.where(improved, ax + uu * e1xj + vv * e2xj, pxb)
+                pyb = jnp.where(improved, ay + uu * e1yj + vv * e2yj, pyb)
+                pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
+                return (t_best, slot, ub, vb, nxb, nyb, nzb, mb,
+                        pxb, pyb, pzb)
+            if payload == "occl":
+                return (t_best,)
+            (_, slot) = state
+            slot = jnp.where(improved, r_off + j, slot)
+            return (t_best, slot)
+
+        for rr_s in range(subs):
+            row = runs_ref[c * subs + rr_s]
+            r_off = ((c * subs + rr_s) * run).astype(jnp.float32)
+            for j in range(run):
+                state = tri_step(row, r_off, j, state)
+        return state
+
+    return test_cluster

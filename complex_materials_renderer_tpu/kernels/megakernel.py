@@ -56,6 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.clusters import SUPER_FACTOR
+from .cluster_test import make_cluster_tester, payload_bound, payload_state0
 from .pallas_trace import DeviceClusterGrid
 
 BLOCK = 1024  # lanes per (8, 128) register tile
@@ -378,13 +379,6 @@ def _make_kernel(
         # per-triangle opaque/media split; -1 rows never match.
         med_ids = [media_ref[mi, 0] for mi in range(M)]
 
-        def is_media_mat(mat_scalar):
-            """Scalar: does this material id have a medium entry?"""
-            m = jnp.bool_(False)
-            for mid in med_ids:
-                m = m | ((mat_scalar == mid) & (mid >= 0.0))
-            return m
-
         def slab_entry_scalars(
             bx0, by0, bz0, bx1, by1, bz1, OX, OY, OZ, IX, IY, IZ, TMAX
         ):
@@ -449,8 +443,6 @@ def _make_kernel(
             if s_hi is None:
                 s_hi = S
             IX, IY, IZ = _safe_inv(DX), _safe_inv(DY), _safe_inv(DZ)
-            zeros = jnp.zeros_like(OX)
-            neg1 = jnp.full_like(OX, -1.0)
 
             if payload in ("full", "dist"):
                 # Clamp the walk bound to the scene-box exit: all geometry
@@ -474,152 +466,21 @@ def _make_kernel(
                     TMAX, jnp.maximum(tf, 0.0) * 1.0001 + 10.0 * t_min
                 )
 
-            if payload == "full":
-                state0 = (TMAX, neg1, zeros, zeros, zeros, zeros,
-                          jnp.ones_like(OX), neg1, zeros, zeros, zeros)
-            elif payload == "nee":
-                # K sorted media-boundary slots + their mats + t_opq.
-                state0 = tuple([TMAX] * K_NEE) + tuple([neg1] * K_NEE) + (TMAX,)
-            elif payload == "occl":
-                state0 = (TMAX,)
-            else:
-                state0 = (TMAX, neg1)
+            state0 = payload_state0(payload, TMAX, K_NEE)
 
             def bound_of(state):
-                """Early-exit bound: the worst tracked hit — for a
-                closest-hit walk that is t_best; for the multi-hit sweep
-                min(K-th smallest media boundary, nearest opaque hit):
-                nothing beyond the nearest opaque occluder can matter."""
-                if payload == "nee":
-                    return jnp.minimum(state[K_NEE - 1], state[2 * K_NEE])
-                return state[0]
+                """Early-exit bound (see cluster_test.payload_bound)."""
+                return payload_bound(payload, state, K_NEE)
+
+            tc = make_cluster_tester(
+                runs_ref, subs, run, payload, K_NEE, med_ids, t_min
+            )
 
             def test_cluster(c, state):
-                """Statically unrolled cluster test over run-major rows.
-
-                The run-major table (one row per SUB_SIZE-triangle run,
-                pallas_trace.device_cluster_grid) replaces 10 per-cluster
-                dynamic row reads with one per run and keeps every
-                extract static — measured 5.38 vs 5.90 ms/bounce
-                (showcase, 64 blocks) against the per-component layout.
-
-                FINER-GRAINED CULLING IS A MEASURED DEAD END on this
-                hardware, despite host-side studies showing rays enter
-                only ~3.2/8 (showcase) to 4.3/8 (cup) runs per visited
-                cluster: with the kernel's 11-tile carried hit state,
-                (a) a traced-trip-count fori_loop over the entering run
-                range costs 8.66 vs 5.38 ms/bounce (Mosaic cannot keep
-                the carry in vregs across a dynamic loop), and (b) a
-                per-run scalar lax.cond gate costs 10.0 vs 5.4 (each
-                cond ~500 cycles at this state size — the same reason
-                round-2's SUB_SIZE cond gating lost). Only cluster
-                granularity (128 triangles ~ 4.3k cycles) amortizes a
-                branch; below that, straight-line arithmetic wins."""
-                eps = jnp.float32(1e-6)
-
-                def tri_step(row, r_off, j, state):
-                    ax = row[0 * run + j]
-                    ay = row[1 * run + j]
-                    az = row[2 * run + j]
-                    e1xj = row[3 * run + j]
-                    e1yj = row[4 * run + j]
-                    e1zj = row[5 * run + j]
-                    e2xj = row[6 * run + j]
-                    e2yj = row[7 * run + j]
-                    e2zj = row[8 * run + j]
-                    mat_j = row[9 * run + j]
-
-                    # Moller-Trumbore: one triangle vs 1024 rays.
-                    px = DY * e2zj - DZ * e2yj
-                    py = DZ * e2xj - DX * e2zj
-                    pz = DX * e2yj - DY * e2xj
-                    det = e1xj * px + e1yj * py + e1zj * pz
-                    # (An approx-reciprocal + Newton variant measured
-                    # SLOWER than this divide: 5.38 vs 5.00 ms/bounce —
-                    # Mosaic's f32 divide is already cheap.)
-                    inv_det = 1.0 / jnp.where(
-                        jnp.abs(det) > 1e-12, det, jnp.float32(1e30)
-                    )
-                    sx = OX - ax
-                    sy = OY - ay
-                    sz = OZ - az
-                    uu = (sx * px + sy * py + sz * pz) * inv_det
-                    qx = sy * e1zj - sz * e1yj
-                    qy = sz * e1xj - sx * e1zj
-                    qz = sx * e1yj - sy * e1xj
-                    vv = (DX * qx + DY * qy + DZ * qz) * inv_det
-                    tt = (e2xj * qx + e2yj * qy + e2zj * qz) * inv_det
-                    if payload == "nee":
-                        # Opaque/media split at the TRIANGLE level: the
-                        # material id is a per-run scalar, so the media
-                        # check costs ~2 scalar ops on the scalar unit.
-                        # Media boundaries bubble into the K sorted
-                        # slots; opaque hits only shrink t_opq (per-leg
-                        # queries would never surface more than the
-                        # nearest opaque hit — it occludes), which both
-                        # frees list slots and tightens bound_of.
-                        ts = list(state[:K_NEE])
-                        ms = list(state[K_NEE : 2 * K_NEE])
-                        t_opq = state[2 * K_NEE]
-                        med = is_media_mat(mat_j)
-                        valid_geom = (
-                            (uu >= -eps)
-                            & (vv >= -eps)
-                            & (uu + vv <= 1.0 + eps)
-                            & (tt > t_min)
-                        )
-                        t_opq = jnp.where(
-                            valid_geom & ~med & (tt < t_opq), tt, t_opq
-                        )
-                        valid = (
-                            valid_geom & med & (tt < ts[-1]) & (tt < t_opq)
-                        )
-                        cand_t = jnp.where(valid, tt, _INF)
-                        cand_m = jnp.full_like(tt, mat_j)
-                        for i in range(K_NEE):
-                            old_t = ts[i]
-                            old_m = ms[i]
-                            lt = cand_t < old_t
-                            ts[i] = jnp.minimum(cand_t, old_t)
-                            ms[i] = jnp.where(lt, cand_m, old_m)
-                            cand_t = jnp.maximum(cand_t, old_t)
-                            cand_m = jnp.where(lt, old_m, cand_m)
-                        return tuple(ts) + tuple(ms) + (t_opq,)
-                    t_best = state[0]
-                    improved = (
-                        (uu >= -eps)
-                        & (vv >= -eps)
-                        & (uu + vv <= 1.0 + eps)
-                        & (tt > t_min)
-                        & (tt < t_best)
-                    )
-                    t_best = jnp.where(improved, tt, t_best)
-                    if payload == "full":
-                        (_, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = state
-                        slot = jnp.where(improved, r_off + j, slot)
-                        ub = jnp.where(improved, uu, ub)
-                        vb = jnp.where(improved, vv, vb)
-                        nxb = jnp.where(improved, e1yj * e2zj - e1zj * e2yj, nxb)
-                        nyb = jnp.where(improved, e1zj * e2xj - e1xj * e2zj, nyb)
-                        nzb = jnp.where(improved, e1xj * e2yj - e1yj * e2xj, nzb)
-                        mb = jnp.where(improved, mat_j, mb)
-                        pxb = jnp.where(improved, ax + uu * e1xj + vv * e2xj, pxb)
-                        pyb = jnp.where(improved, ay + uu * e1yj + vv * e2yj, pyb)
-                        pzb = jnp.where(improved, az + uu * e1zj + vv * e2zj, pzb)
-                        return (t_best, slot, ub, vb, nxb, nyb, nzb, mb,
-                                pxb, pyb, pzb)
-                    if payload == "occl":
-                        return (t_best,)
-                    (_, slot) = state
-                    slot = jnp.where(improved, r_off + j, slot)
-                    return (t_best, slot)
-
-                for rr_s in range(subs):
-                    row = runs_ref[c * subs + rr_s]
-                    r_off = ((c * subs + rr_s) * run).astype(jnp.float32)
-                    for j in range(run):
-                        state = tri_step(row, r_off, j, state)
-                return state
+                """Shared statically-unrolled 128-triangle cluster test
+                (kernels/cluster_test.py — one source of truth for both
+                the fused megakernel and the binned tracer)."""
+                return tc(c, (OX, OY, OZ, DX, DY, DZ), state)
 
             def visit_super(sp, state):
                 lo = sp * SUPER_FACTOR
