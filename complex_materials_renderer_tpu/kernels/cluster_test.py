@@ -86,7 +86,15 @@ def make_cluster_tester(
             m = m | ((mat_scalar == mid) & (mid >= 0.0))
         return m
 
-    def test_cluster(c, rays, state):
+    def test_cluster(c, rays, state, mask=None):
+        """``mask`` (lane tile of bool) restricts which lanes may ACCEPT
+        hits from this visit. Closest-hit payloads never need it (a
+        repeated test is idempotent under the strict tt < t_best), but
+        the 'nee' K-list sorted insert is NOT idempotent: a caller that
+        can test the same cluster against a lane more than once (the
+        binned round kernel re-tests a cluster whenever it is any
+        block-mate's head) must mask insertions to exactly-once lanes or
+        boundaries duplicate in the list."""
         OX, OY, OZ, DX, DY, DZ = rays
 
         def tri_step(row, r_off, j, state):
@@ -138,6 +146,8 @@ def make_cluster_tester(
                     & (uu + vv <= 1.0 + eps)
                     & (tt > t_min)
                 )
+                if mask is not None:
+                    valid_geom = valid_geom & mask
                 t_opq = jnp.where(
                     valid_geom & ~med & (tt < t_opq), tt, t_opq
                 )

@@ -79,6 +79,30 @@ def eval_transmittance(dist, sigma_s, sigma_a):
     return jnp.exp(-extinction * d)
 
 
+def free_flight_candidate(rand, sigma_s, sigma_a):
+    """The segment-length-independent half of sample_distance: the
+    exponential candidate collision distance (NO_INTERACTION when the
+    single-scatter draw declines). Exactly the ``sampled`` value below,
+    so callers may PRE-draw it (same RNG value) to BOUND the
+    distance-to-boundary trace — success only compares sampled < dist,
+    so a walk clamped just past the candidate returns identical results
+    (the megakernel has used this bound since round 2)."""
+    extinction = sigma_s + sigma_a
+    density = jnp.min(extinction, axis=-1)
+    albedo = jnp.where(
+        extinction > 0.0, sigma_s / jnp.maximum(extinction, 1e-30), -1.0
+    )
+    weight = jnp.max(albedo, axis=-1)
+    weight = jnp.maximum(weight, -1.0)
+    weight = jnp.where(weight > 0.0, jnp.maximum(weight, 0.5), weight)
+    draw = rand < weight
+    r_scaled = jnp.where(draw, rand / jnp.where(draw, weight, 1.0), 0.0)
+    exp_sample = -jnp.log(jnp.maximum(1.0 - r_scaled, 1e-37)) / jnp.maximum(
+        density, 1e-30
+    )
+    return jnp.where(draw & (density > 0.0), exp_sample, NO_INTERACTION)
+
+
 class DistanceSample(NamedTuple):
     success: jnp.ndarray  # (R,) bool — scatter event inside the segment
     t: jnp.ndarray  # (R,) sampled depth (== dist on failure)

@@ -169,6 +169,64 @@ def sample_direct_light(
     return light_value * trans
 
 
+class Tracer(NamedTuple):
+    """Pluggable trace backend for _bounce. The default (built from the
+    BVH/cluster tracer) reproduces the historical wavefront engine; the
+    binned engine (render/binnedrender.py) swaps in per-lane-work-
+    proportional traces. All three hooks draw no RNG, so engines sharing
+    a hook set sample identical per-lane decision streams.
+
+    closest(org, dir, active) -> ShadedHit
+    distance(position, dir, transmitted, rngs, med) -> seg_len (R,)
+        ``rngs``/``med`` let implementations PEEK the upcoming free-
+        flight draw (ops/rng.py streams are deterministic) to bound the
+        walk by the exponential candidate — semantically invisible,
+        because success only compares sampled < dist.
+    direct(position, active) -> (R, 3) incident light after occlusion
+        and media transmittance (the NEE march).
+    """
+
+    closest: object
+    distance: object
+    direct: object
+
+
+def default_tracer(scene: SceneArrays, bvh, lights: Lights,
+                   nee_max_media: int) -> Tracer:
+    """The historical trace set: closest/dist via trace_shaded, NEE via
+    the per-leg chained march (sample_direct_light)."""
+
+    def closest(org, direction, alive):
+        return trace_shaded(
+            org, direction, bvh, scene.v0, scene.v1, scene.v2,
+            scene.mat_ids, T_MIN, T_MAX, active=alive,
+        )
+
+    def distance(position, dir_after, transmitted, _rngs, _med):
+        # Only medium-transmitted lanes need it; skip the trace entirely
+        # on all-surface bounces (scalar lax.cond branch).
+        def dist_trace(_):
+            h = trace_shaded(
+                position, dir_after, bvh, scene.v0, scene.v1, scene.v2,
+                scene.mat_ids, T_MIN, T_MAX, active=transmitted,
+            )
+            return jnp.where(h.hit, h.t, T_MAX)
+
+        return jax.lax.cond(
+            jnp.any(transmitted),
+            dist_trace,
+            lambda _: jnp.full(position.shape[:1], T_MAX, jnp.float32),
+            None,
+        )
+
+    def direct(position, active):
+        return sample_direct_light(
+            position, scene, bvh, lights, active, nee_max_media
+        )
+
+    return Tracer(closest=closest, distance=distance, direct=direct)
+
+
 class _State(NamedTuple):
     org: jnp.ndarray  # (R, 3)
     dir: jnp.ndarray  # (R, 3)
@@ -232,13 +290,13 @@ def _bounce(
     rr_depth: int,
     nee_max_media: int,
     tir: str = "reflect",
+    tracer: Tracer | None = None,
 ) -> _State:
     org, direction, thr, rad, rngs, depth, alive, lane_id = state
+    if tracer is None:
+        tracer = default_tracer(scene, bvh, lights, nee_max_media)
 
-    sh = trace_shaded(
-        org, direction, bvh, scene.v0, scene.v1, scene.v2, scene.mat_ids,
-        T_MIN, T_MAX, active=alive,
-    )
+    sh = tracer.closest(org, direction, alive)
     got_hit = alive & sh.hit
     position = sh.position  # barycentric reconstruction (volpath:158-181)
     normal = sh.normal
@@ -261,21 +319,7 @@ def _bounce(
     depth = depth + jnp.where(has_med, 1, 0)  # volpath:669 (also hit by :653)
 
     # --- distance-to-boundary trace (volpath:675-688) ---
-    # Only medium-transmitted lanes need it; skip the trace entirely on
-    # all-surface bounces (scalar lax.cond branch).
-    def dist_trace(_):
-        h = trace_shaded(
-            position, dir_after, bvh, scene.v0, scene.v1, scene.v2,
-            scene.mat_ids, T_MIN, T_MAX, active=transmitted,
-        )
-        return jnp.where(h.hit, h.t, T_MAX)
-
-    seg_len = jax.lax.cond(
-        jnp.any(transmitted),
-        dist_trace,
-        lambda _: jnp.full(position.shape[:1], T_MAX, jnp.float32),
-        None,
-    )
+    seg_len = tracer.distance(position, dir_after, transmitted, rngs, med)
 
     # --- free-flight sampling (volpath:691) ---
     rngs, rand_dist = rng_ops.next_float_masked(rngs, transmitted)
@@ -297,9 +341,7 @@ def _bounce(
 
     # --- shared NEE (volpath:697 for scatter, :773 for diffuse; draws no
     # randoms; the medium argument is dead in the reference) ---
-    light = sample_direct_light(
-        position, scene, bvh, lights, scatter | shade, nee_max_media
-    )
+    light = tracer.direct(position, scatter | shade)
 
     # --- scatter branch (volpath:693-710) ---
     safe_ps = jnp.where(ms.prob_success > 0.0, ms.prob_success, 1.0)

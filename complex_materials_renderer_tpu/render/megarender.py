@@ -159,6 +159,9 @@ def _partition_live(state: MegaState, lane: jnp.ndarray, scene,
         "schedule",
         "sortkey",
         "debug",
+        "trace_engine",
+        "binned_list",
+        "binned_cap",
     ),
 )
 def render_beauty_mega(
@@ -183,6 +186,9 @@ def render_beauty_mega(
     schedule: str = "",
     sortkey: str = "dir",
     debug: str = "",
+    trace_engine: str = "mega",
+    binned_list: int = 8,
+    binned_cap: int = 12,
 ):
     """Render an (H, W, 3) tile of the beauty pass with the megakernel.
 
@@ -234,18 +240,31 @@ def render_beauty_mega(
         dynamic = "all" if grid.num_clusters > 128 else "off"
     sched = _phase_schedule(rp, max_depth, schedule)
 
-    kern = partial(
-        trace_paths_mega,
-        grid,
-        media9,
-        misc,
-        background=scene.background,
-        max_depth=max_depth,
-        rr_depth=rr_depth,
-        nee_max_media=nee_max_media,
-        tir_kill=(tir == "kill"),
-        debug=debug,
-    )
+    if trace_engine == "binned":
+        # Per-lane-work-proportional traces with XLA physics — the
+        # engine for incoherent/large-scene wavefronts where the fused
+        # kernel's block-union traversal dilutes 5-44x (binnedrender).
+        from .binnedrender import make_binned_kern
+
+        kern = make_binned_kern(
+            grid, scene, lights, media9,
+            max_depth=max_depth, rr_depth=rr_depth,
+            nee_max_media=nee_max_media, tir=tir,
+            list_len=binned_list, cap_iters=binned_cap,
+        )
+    else:
+        kern = partial(
+            trace_paths_mega,
+            grid,
+            media9,
+            misc,
+            background=scene.background,
+            max_depth=max_depth,
+            rr_depth=rr_depth,
+            nee_max_media=nee_max_media,
+            tir_kill=(tir == "kill"),
+            debug=debug,
+        )
 
     def _advance(state, lane, bank_rows):
         """Run the wavefront to termination (dynamic or static phase

@@ -209,10 +209,16 @@ class Renderer:
         # cluster-grid accel; the wavefront XLA loop remains the portable
         # engine (and the only one for the threaded-BVH backend).
         engine = self._resolve_engine()
-        if engine == "mega":
+        if engine in ("mega", "binned"):
             from .render.megarender import render_beauty_mega
 
             knobs = _mega_env_knobs()
+            if engine == "binned":
+                # Binned traces with XLA physics: the megarender driver
+                # is reused; only the per-pass kernel is swapped.
+                knobs["trace_engine"] = "binned"
+                knobs["binned_list"] = int(os.environ.get("CMR_BINNED_LIST", 8))
+                knobs["binned_cap"] = int(os.environ.get("CMR_BINNED_CAP", 12))
             if (
                 knobs["schedule_mode"] == "auto"
                 and opt.width * opt.height * opt.num_samples < (1 << 18)
@@ -316,8 +322,8 @@ class Renderer:
                 if jax.default_backend() == "tpu" and is_cluster
                 else "wavefront"
             )
-        if engine == "mega" and not is_cluster:
-            raise ValueError("--engine mega requires --backend cluster")
+        if engine in ("mega", "binned") and not is_cluster:
+            raise ValueError(f"--engine {engine} requires --backend cluster")
         return engine
 
     def _render_fingerprint(self) -> str:
