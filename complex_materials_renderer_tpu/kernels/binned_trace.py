@@ -52,7 +52,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.clusters import SUPER_FACTOR
-from .cluster_test import make_cluster_tester, payload_bound, payload_state0
+from .cluster_test import (
+    make_cluster_tester,
+    nee_state_size,
+    nee_unpack_mat,
+    nee_unpack_t,
+    payload_bound,
+    payload_state0,
+)
 from .pallas_trace import DeviceClusterGrid
 
 BLOCK = 1024
@@ -65,7 +72,17 @@ _T_MAX = 1e4
 
 
 def _n_state(payload: str, K_NEE: int) -> int:
-    return {"full": 11, "dist": 2, "occl": 1}.get(payload, 2 * K_NEE + 1)
+    return {"full": 11, "dist": 2, "occl": 1}.get(
+        payload, nee_state_size(K_NEE)
+    )
+
+
+def _state_dtypes(payload: str, K_NEE: int):
+    """Per-field dtypes of the payload state ('nee' carries packed int32
+    boundary keys + one f32 t_opq; every other payload is all-f32)."""
+    if payload == "nee":
+        return [jnp.int32] * K_NEE + [jnp.float32]
+    return [jnp.float32] * _n_state(payload, K_NEE)
 
 
 def _make_listing_kernel(C, S, num_blocks, t_min, L):
@@ -196,11 +213,13 @@ def _make_round_kernel(
         key_refs = refs[6 : 6 + L]
         state_refs = refs[6 + L : 6 + L + ns]
         key_outs = refs[6 + L + ns : 6 + 2 * L + ns]
-        state_outs = refs[6 + 2 * L + ns :]
+        state_outs = refs[6 + 2 * L + ns : 6 + 2 * L + 2 * ns]
+        iters_out = refs[6 + 2 * L + 2 * ns]
 
         med_ids = [media_ref[mi, 0] for mi in range(M)]
         tc = make_cluster_tester(
-            runs_ref, subs, run, payload, K_NEE, med_ids, t_min
+            runs_ref, subs, run, payload, K_NEE, med_ids, t_min,
+            bitcast=pltpu.bitcast,
         )
 
         def block_body(b, _):
@@ -223,12 +242,25 @@ def _make_round_kernel(
                     head = keys[0]
                     has = head < EMPTY
                     hent = pltpu.bitcast(head & ~ID_MASK, jnp.float32)
+                    bnd = payload_bound(
+                        payload, state, K_NEE, bitcast=pltpu.bitcast
+                    )
+                    # Entries are entry-ASCENDING per lane, so a culled
+                    # head means every remaining entry is cullable:
+                    # clear the lane's whole list in one shot. (One-pop-
+                    # per-iteration culling measured 7.3 live rounds per
+                    # lane — stale entries kept blocks alive while other
+                    # lanes' visits piled up to 5x the needed work.)
+                    clear = has & (hent >= bnd)
+                    keys = tuple(
+                        jnp.where(clear, jnp.full_like(k, EMPTY), k)
+                        for k in keys
+                    )
+                    head = keys[0]
+                    active = head < EMPTY
                     hid = head & ID_MASK
-                    bnd = payload_bound(payload, state, K_NEE)
-                    cull = has & (hent >= bnd)
-                    active = has & ~cull
                     c = jnp.min(jnp.where(active, hid, BIGC))
-                    pop = cull | (active & (hid == c))
+                    pop = active & (hid == c)
                     # The same cluster can be tested against a lane once
                     # per round it is any block-mate's head. Closest-hit
                     # payloads are idempotent under re-tests; the NEE
@@ -251,13 +283,14 @@ def _make_round_kernel(
                     )
                     return tuple(nk), state, it + 1
 
-                keys_f, state_f, _ = jax.lax.while_loop(
+                keys_f, state_f, it_f = jax.lax.while_loop(
                     cond, body, (keys0, state0, jnp.int32(0))
                 )
                 for i in range(L):
                     key_outs[i][sl, :] = keys_f[i]
                 for i in range(ns):
                     state_outs[i][sl, :] = state_f[i]
+                iters_out[sl, :] = jnp.full((8, 128), it_f, jnp.int32)
 
             @pl.when(b >= lb_ref[0])
             def _():
@@ -267,6 +300,7 @@ def _make_round_kernel(
                     key_outs[i][sl, :] = keys0[i]
                 for i in range(ns):
                     state_outs[i][sl, :] = state0[i]
+                iters_out[sl, :] = jnp.zeros((8, 128), jnp.int32)
 
             return 0
 
@@ -299,6 +333,7 @@ def _entry_of(key):
     jax.jit,
     static_argnames=(
         "payload", "nee_max_media", "list_len", "cap_iters", "max_gens",
+        "debug_stats",
     ),
 )
 def trace_binned(
@@ -314,6 +349,7 @@ def trace_binned(
     list_len: int = 8,
     cap_iters: int = 12,
     max_gens: int = 64,
+    debug_stats: bool = False,
 ):
     """Per-lane-work-proportional trace; same payload contract as the
     megakernel's traverse (t == per-lane bound on miss, slot/mat == -1).
@@ -411,13 +447,18 @@ def trace_binned(
         )
         return tuple(x.reshape(rp) for x in outs[:L]), outs[L].reshape(rp)
 
+    state_shapes = [
+        jax.ShapeDtypeStruct((blocks * 8, 128), dt)
+        for dt in _state_dtypes(payload, K_NEE)
+    ]
+
     def call_round(o6, keys, st, lb):
         outs = pl.pallas_call(
             round_kernel,
             in_specs=[smem((M, 9)), smem((1,)), vmem()]
             + [vmem()] * (6 + L + ns),
-            out_specs=[vmem()] * (L + ns),
-            out_shape=[i32s] * L + [f32s] * ns,
+            out_specs=[vmem()] * (L + ns + 1),
+            out_shape=[i32s] * L + state_shapes + [i32s],
             input_output_aliases={
                 3 + 6 + i: i for i in range(L + ns)
             },
@@ -428,19 +469,22 @@ def trace_binned(
             *(k.reshape(blocks * 8, 128) for k in keys),
             *(s.reshape(blocks * 8, 128) for s in st),
         )
+        visits = jnp.sum(outs[L + ns][::8, 0])
         return (
             tuple(x.reshape(rp) for x in outs[:L]),
-            tuple(x.reshape(rp) for x in outs[L:]),
+            tuple(x.reshape(rp) for x in outs[L : L + ns]),
+            visits,
         )
 
     def gen_cond(carry):
-        _o6, _st, tlo_v, _lane, gen = carry
+        _o6, _st, tlo_v, _lane, _stats, gen = carry
         return (gen < max_gens) & jnp.any(tlo_v < EMPTY)
 
     def gen_body(carry):
-        o6, st, tlo_v, lane_v, gen = carry
+        o6, st, tlo_v, lane_v, stats, gen = carry
         bnd = payload_bound(payload, st, K_NEE)
         keys, tlim = call_listing(o6, bnd, tlo_v)
+        stats = stats + jnp.array([1, 0, 0, 0], jnp.int32)
 
         def round_cond(carry2):
             _a, keys2, _c, _d, _e = carry2
@@ -448,40 +492,61 @@ def trace_binned(
 
         def round_body(carry2):
             o6b, keys2, st2, tlo2, extra = carry2
-            tlim2, lane2 = extra
-            # Regroup lanes by head key so blocks share clusters; lanes
-            # with empty lists (or resolved) sort last.
+            tlim2, lane2, stats2 = extra
+            # Regroup lanes by head CLUSTER ID — NOT by the packed key:
+            # its high bits are the AABB entry distance, and an entry-
+            # major sort scatters same-cluster lanes across blocks (the
+            # measured failure mode: ~1024 distinct heads per block, one
+            # pop per 4.7k-cycle visit). Lanes with empty lists sort
+            # last via the sentinel.
+            head = keys2[0]
+            gkey = jnp.where(head < EMPTY, head & ID_MASK, jnp.int32(1 << 20))
             ops = (
-                [keys2[0]] + list(keys2[1:]) + list(o6b) + list(st2)
+                [gkey] + list(keys2) + list(o6b) + list(st2)
                 + [tlo2, tlim2, lane2]
             )
             sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
-            k0 = sorted_ops[0]
-            keys2 = tuple(sorted_ops[: L])
-            o6b = tuple(sorted_ops[L : L + 6])
-            st2 = tuple(sorted_ops[L + 6 : L + 6 + ns])
-            tlo2, tlim2, lane2 = sorted_ops[L + 6 + ns :]
-            live2 = jnp.sum((k0 < EMPTY).astype(jnp.int32))
+            g0 = sorted_ops[0]
+            keys2 = tuple(sorted_ops[1 : 1 + L])
+            o6b = tuple(sorted_ops[1 + L : 1 + L + 6])
+            st2 = tuple(sorted_ops[1 + L + 6 : 1 + L + 6 + ns])
+            tlo2, tlim2, lane2 = sorted_ops[1 + L + 6 + ns :]
+            live2 = jnp.sum((g0 < (1 << 20)).astype(jnp.int32))
             lb2 = ((live2 + BLOCK - 1) // BLOCK).reshape(1)
-            keys2, st2 = call_round(o6b, keys2, st2, lb2)
-            return o6b, keys2, st2, tlo2, (tlim2, lane2)
+            keys2, st2, visits = call_round(o6b, keys2, st2, lb2)
+            stats2 = stats2 + jnp.array([0, 1, 0, 0], jnp.int32) \
+                + jnp.array([0, 0, 1, 0], jnp.int32) * visits \
+                + jnp.array([0, 0, 0, 1], jnp.int32) * live2
+            return o6b, keys2, st2, tlo2, (tlim2, lane2, stats2)
 
-        o6, _keys, st, tlo_v, (tlim, lane_v) = jax.lax.while_loop(
-            round_cond, round_body, (o6, keys, st, tlo_v, (tlim, lane_v))
+        o6, _keys, st, tlo_v, (tlim, lane_v, stats) = jax.lax.while_loop(
+            round_cond, round_body, (o6, keys, st, tlo_v, (tlim, lane_v, stats))
         )
 
         bnd2 = payload_bound(payload, st, K_NEE)
         unresolved = (tlim < EMPTY) & (_entry_of(tlim) < bnd2)
         tlo_v = jnp.where(unresolved, tlim, EMPTY)
-        return o6, st, tlo_v, lane_v, gen + 1
+        return o6, st, tlo_v, lane_v, stats, gen + 1
 
     o6 = (ox, oy, oz, dx, dy, dz)
-    o6, state, _tlo, lane, _g = jax.lax.while_loop(
-        gen_cond, gen_body, (o6, state, tlo, lane, jnp.int32(0))
+    stats0 = jnp.zeros((4,), jnp.int32)  # [gens, rounds, visits, live-lane-rounds]
+    o6, state, _tlo, lane, stats, _g = jax.lax.while_loop(
+        gen_cond, gen_body, (o6, state, tlo, lane, stats0, jnp.int32(0))
     )
 
     # Restore the caller's lane order with ONE variadic sort by the lane
     # index (per-field jnp.take gathers cost ~0.4 ms/field at 65k lanes;
     # the payload-carrying sort is ~0.3 ms total — tools/profile_glue.py).
     restored = jax.lax.sort([lane] + list(state), dimension=0, num_keys=1)
-    return tuple(s[:r] for s in restored[1:])
+    result = tuple(s[:r] for s in restored[1:])
+    if payload == "nee":
+        # Unpack the packed boundary keys back to the traverse contract
+        # (K ascending ts + K mats + t_opq); empty slots read as the
+        # per-lane eff, the miss sentinel.
+        eff_r = eff[:r]
+        ts = tuple(nee_unpack_t(k, eff_r) for k in result[:K_NEE])
+        ms = tuple(nee_unpack_mat(k) for k in result[:K_NEE])
+        result = ts + ms + (result[K_NEE],)
+    if debug_stats:
+        return result, stats
+    return result

@@ -1,8 +1,8 @@
 """Shared per-cluster triangle tester for the Pallas traversal kernels.
 
 ONE source of truth for the hot inner loop: the statically-unrolled
-128-triangle Moller-Trumbore test over run-major rows, including every
-payload variant ('full' closest hit with shading payload, 'dist'/'occl'
+128-triangle intersection over run-major rows, including every payload
+variant ('full' closest hit with shading payload, 'dist'/'occl'
 distance-only, and the 'nee' multi-hit K-list sweep with the opaque
 early-exit track). Both the fused megakernel (kernels/megakernel.py) and
 the binned per-lane tracer (kernels/binned_trace.py) build their
@@ -10,24 +10,57 @@ traversals from these factories, so the two engines' intersection
 semantics are identical by construction.
 
 Replaces the reference's hardware ray-query triangle stage
-(volpath.comp.glsl:612-629); see kernels/megakernel.py for the measured
-design rationale (why straight-line arithmetic, why run-major rows, why
-no finer-grained culling).
+(volpath.comp.glsl:612-629).
+
+One measured arithmetic choice (round 3):
+
+- PACKED NEE K-LIST. The sweep's sorted insertion keeps the K nearest
+  media boundaries; as separate (t, mat) pairs that costs 5 vector ops
+  per slot per triangle. Packing both into one int32 key
+  [t-bits & ~63 | mat] (positive-float bit order == value order; the
+  6-bit mat field quantizes t DOWN by <= 63 ulps ~ 7.5e-6 relative,
+  two orders below the T_MIN=1e-4 the march's dup/window logic works
+  at) makes insertion a 2-op integer min/max chain and HALVES the
+  carried state (K keys + t_opq vs K ts + K mats + t_opq).
+  device_cluster_grid rejects scenes with mat ids >= 64.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 _INF = np.float32(3e38)
+
+NEE_MAT_BITS = 6
+NEE_MAT_MASK = np.int32((1 << NEE_MAT_BITS) - 1)
+KEY_EMPTY = np.int32(2147483647)
+
+
+def nee_state_size(K_NEE: int) -> int:
+    """'nee' payload state: K packed boundary keys + t_opq."""
+    return K_NEE + 1
+
+
+def nee_unpack_t(key, miss, bitcast=jax.lax.bitcast_convert_type):
+    """Boundary distance of a packed key (quantized down <= 63 ulps);
+    ``miss`` for empty slots."""
+    t = bitcast(key & ~NEE_MAT_MASK, jnp.float32)
+    return jnp.where(key == KEY_EMPTY, miss, t)
+
+
+def nee_unpack_mat(key):
+    """Material id of a packed key; -1.0 for empty slots."""
+    m = (key & NEE_MAT_MASK).astype(jnp.float32)
+    return jnp.where(key == KEY_EMPTY, jnp.float32(-1.0), m)
 
 
 def payload_state0(payload: str, TMAX, K_NEE: int = 0):
     """Initial traversal state for a payload kind.
 
     'full' -> (t, slot, u, v, nx, ny, nz, mat, px, py, pz)
-    'nee'  -> K_NEE sorted media-boundary ts + their mats + t_opq
+    'nee'  -> K_NEE packed boundary keys (int32) + t_opq
     'dist' -> (t, slot);  'occl' -> (t,)
     t == per-lane TMAX on miss; slot/mat == -1.
     """
@@ -37,19 +70,23 @@ def payload_state0(payload: str, TMAX, K_NEE: int = 0):
         return (TMAX, neg1, zeros, zeros, zeros, zeros,
                 jnp.ones_like(TMAX), neg1, zeros, zeros, zeros)
     if payload == "nee":
-        return tuple([TMAX] * K_NEE) + tuple([neg1] * K_NEE) + (TMAX,)
+        empty = jnp.full(TMAX.shape, KEY_EMPTY, jnp.int32)
+        return tuple([empty] * K_NEE) + (TMAX,)
     if payload == "occl":
         return (TMAX,)
     return (TMAX, neg1)
 
 
-def payload_bound(payload: str, state, K_NEE: int = 0):
+def payload_bound(payload: str, state, K_NEE: int = 0,
+                  bitcast=jax.lax.bitcast_convert_type):
     """Early-exit bound: the worst tracked hit — t_best for closest-hit
     payloads; min(K-th smallest media boundary, nearest opaque hit) for
     the multi-hit sweep (nothing beyond the nearest opaque occluder can
-    matter)."""
+    matter). ``bitcast`` lets Pallas kernels pass pltpu.bitcast (Mosaic
+    lacks the XLA bitcast lowering)."""
     if payload == "nee":
-        return jnp.minimum(state[K_NEE - 1], state[2 * K_NEE])
+        kth = nee_unpack_t(state[K_NEE - 1], _INF, bitcast)
+        return jnp.minimum(kth, state[K_NEE])
     return state[0]
 
 
@@ -61,14 +98,16 @@ def make_cluster_tester(
     K_NEE: int,
     med_ids,
     t_min,
+    bitcast=jax.lax.bitcast_convert_type,
 ):
     """Build ``test_cluster(c, rays, state) -> state`` over run-major rows.
 
     ``rays`` = (OX, OY, OZ, DX, DY, DZ) lane tiles; ``c`` is a (traced)
     cluster index; ``med_ids`` the loop-invariant media material-id
-    scalars for the 'nee' payload's per-triangle opaque/media split.
+    scalars for the 'nee' payload's per-triangle opaque/media split;
+    ``bitcast`` as in payload_bound.
 
-    The run-major table (one row per SUB_SIZE-triangle run) replaces 10
+    The run-major table (one row per SUB_SIZE-triangle run) replaces 10+
     per-cluster dynamic row reads with one per run and keeps every
     extract static — measured 5.38 vs 5.90 ms/bounce (NOTES.md round 3).
     FINER-GRAINED CULLING IS A MEASURED DEAD END on this hardware: a
@@ -90,11 +129,11 @@ def make_cluster_tester(
         """``mask`` (lane tile of bool) restricts which lanes may ACCEPT
         hits from this visit. Closest-hit payloads never need it (a
         repeated test is idempotent under the strict tt < t_best), but
-        the 'nee' K-list sorted insert is NOT idempotent: a caller that
-        can test the same cluster against a lane more than once (the
-        binned round kernel re-tests a cluster whenever it is any
-        block-mate's head) must mask insertions to exactly-once lanes or
-        boundaries duplicate in the list."""
+        the 'nee' K-list insert is NOT idempotent: a caller that can
+        test the same cluster against a lane more than once (the binned
+        round kernel re-tests a cluster whenever it is any block-mate's
+        head) must mask insertions to exactly-once lanes or boundaries
+        duplicate in the list."""
         OX, OY, OZ, DX, DY, DZ = rays
 
         def tri_step(row, r_off, j, state):
@@ -109,9 +148,15 @@ def make_cluster_tester(
             e2zj = row[8 * run + j]
             mat_j = row[9 * run + j]
 
-            # Moller-Trumbore: one triangle vs 1024 rays. (An
-            # approx-reciprocal + Newton variant measured SLOWER than
-            # this divide: Mosaic's f32 divide is already cheap.)
+            # Classic Moller-Trumbore: one triangle vs 1024 rays. Two
+            # REJECTED variants, both measured SLOWER end-to-end despite
+            # fewer vector ops: approx-reciprocal + Newton for the
+            # divide (Mosaic's f32 divide is already cheap), and a
+            # stored-normal reformulation sharing one cross m = s x D
+            # (saves ~5-11 arithmetic ops/tri but costs 3 more scalar
+    # extracts from the run row — showcase 1.23 vs 1.45, cup
+            # 0.132 vs 0.157 Mpaths/s; extract/broadcast cost, not
+            # flops, is the margin on this machine).
             px = DY * e2zj - DZ * e2yj
             py = DZ * e2xj - DX * e2zj
             pz = DX * e2yj - DY * e2xj
@@ -131,14 +176,13 @@ def make_cluster_tester(
             if payload == "nee":
                 # Opaque/media split at the TRIANGLE level: the material
                 # id is a per-run scalar, so the media check costs ~2
-                # scalar ops. Media boundaries bubble into the K sorted
-                # slots; opaque hits only shrink t_opq (per-leg queries
-                # would never surface more than the nearest opaque hit —
-                # it occludes), which both frees list slots and tightens
-                # payload_bound.
-                ts = list(state[:K_NEE])
-                ms = list(state[K_NEE : 2 * K_NEE])
-                t_opq = state[2 * K_NEE]
+                # scalar ops. Media boundaries bubble into the K packed
+                # key slots; opaque hits only shrink t_opq (per-leg
+                # queries would never surface more than the nearest
+                # opaque hit — it occludes), which both frees list slots
+                # and tightens payload_bound.
+                keys = list(state[:K_NEE])
+                t_opq = state[K_NEE]
                 med = is_media_mat(mat_j)
                 valid_geom = (
                     (uu >= -eps)
@@ -151,18 +195,20 @@ def make_cluster_tester(
                 t_opq = jnp.where(
                     valid_geom & ~med & (tt < t_opq), tt, t_opq
                 )
-                valid = valid_geom & med & (tt < ts[-1]) & (tt < t_opq)
-                cand_t = jnp.where(valid, tt, _INF)
-                cand_m = jnp.full_like(tt, mat_j)
+                valid = valid_geom & med & (tt < t_opq)
+                mat_i = mat_j.astype(jnp.int32)
+                cand = jnp.where(
+                    valid,
+                    (bitcast(tt, jnp.int32) & ~NEE_MAT_MASK) | mat_i,
+                    KEY_EMPTY,
+                )
+                # 2-op sorted insertion; a candidate beyond the K-th
+                # kept key falls off the end of the min/max chain.
                 for i in range(K_NEE):
-                    old_t = ts[i]
-                    old_m = ms[i]
-                    lt = cand_t < old_t
-                    ts[i] = jnp.minimum(cand_t, old_t)
-                    ms[i] = jnp.where(lt, cand_m, old_m)
-                    cand_t = jnp.maximum(cand_t, old_t)
-                    cand_m = jnp.where(lt, old_m, cand_m)
-                return tuple(ts) + tuple(ms) + (t_opq,)
+                    s = keys[i]
+                    keys[i] = jnp.minimum(cand, s)
+                    cand = jnp.maximum(cand, s)
+                return tuple(keys) + (t_opq,)
             t_best = state[0]
             improved = (
                 (uu >= -eps)

@@ -56,7 +56,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.clusters import SUPER_FACTOR
-from .cluster_test import make_cluster_tester, payload_bound, payload_state0
+from .cluster_test import (
+    make_cluster_tester,
+    nee_unpack_mat,
+    nee_unpack_t,
+    payload_bound,
+    payload_state0,
+)
 from .pallas_trace import DeviceClusterGrid
 
 BLOCK = 1024  # lanes per (8, 128) register tile
@@ -470,10 +476,13 @@ def _make_kernel(
 
             def bound_of(state):
                 """Early-exit bound (see cluster_test.payload_bound)."""
-                return payload_bound(payload, state, K_NEE)
+                return payload_bound(
+                    payload, state, K_NEE, bitcast=pltpu.bitcast
+                )
 
             tc = make_cluster_tester(
-                runs_ref, subs, run, payload, K_NEE, med_ids, t_min
+                runs_ref, subs, run, payload, K_NEE, med_ids, t_min,
+                bitcast=pltpu.bitcast,
             )
 
             def test_cluster(c, state):
@@ -658,12 +667,16 @@ def _make_kernel(
                 hits = traverse(
                     px, py, pz, ldx, ldy, ldz, eff, "nee", S_OPQ, S
                 )
-                t_op = jnp.minimum(t_op_w, hits[2 * K_NEE])
+                t_op = jnp.minimum(t_op_w, hits[K_NEE])
             else:
                 hits = traverse(px, py, pz, ldx, ldy, ldz, eff, "nee")
-                t_op = hits[2 * K_NEE]
-            ts = hits[:K_NEE]
-            ms = hits[K_NEE : 2 * K_NEE]
+                t_op = hits[K_NEE]
+            # Unpack the K packed boundary keys once per trace; empty
+            # slots read as the per-lane eff (the pre-packing slot init),
+            # so the march's resolve/fail-dark behavior is unchanged.
+            ts = [nee_unpack_t(k, eff, bitcast=pltpu.bitcast)
+                  for k in hits[:K_NEE]]
+            ms = [nee_unpack_mat(k) for k in hits[:K_NEE]]
 
             ones = jnp.ones_like(px)
             tr_r = ones

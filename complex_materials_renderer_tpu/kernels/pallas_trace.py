@@ -107,7 +107,16 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
     if width % subs:
         raise ValueError(f"cluster width {width} not divisible into runs")
     run = width // subs
+    # 10 components: v0, e1, e2, material id. (A 13-component layout
+    # with a precomputed normal was measured SLOWER: the reformulated
+    # test saved vector flops but paid 3 extra scalar extracts per
+    # triangle — see cluster_test.py.)
     row_w = -(-(10 * run) // 128) * 128
+    if np.asarray(grid.mat_id).max(initial=0) >= 64:
+        raise ValueError(
+            "material ids must fit 6 bits (< 64): the NEE sweep packs "
+            "(boundary t | mat) into one int32 key (cluster_test.py)"
+        )
     comps = [
         grid.v0x, grid.v0y, grid.v0z,
         grid.e1x, grid.e1y, grid.e1z,
