@@ -424,9 +424,10 @@ def _make_kernel(
 
             payload: 'full' -> closest hit (t, slot, u, v, nx, ny, nz,
                                mat, px, py, pz)
-                     'nee'  -> K_NEE nearest MEDIA boundaries
-                               (t_0..t_{K-1} ascending, m_0..m_{K-1})
-                               plus t_opq, the nearest OPAQUE hit: ONE
+                     'nee'  -> K_NEE nearest MEDIA boundaries as packed
+                               int32 keys (ascending [t-bits | mat],
+                               cluster_test.nee_unpack_*) plus t_opq,
+                               the nearest OPAQUE hit: ONE
                                sweep collects every boundary the shadow
                                march needs, replacing the reference's
                                chain of per-leg ray queries
@@ -489,6 +490,12 @@ def _make_kernel(
                 """Shared statically-unrolled 128-triangle cluster test
                 (kernels/cluster_test.py — one source of truth for both
                 the fused megakernel and the binned tracer)."""
+                if "cullonly" in debug:
+                    # Timing ablation: identity body — the walk keeps
+                    # its full cull/cond scaffolding but skips the
+                    # triangle arithmetic (see the bounce()'s cullonly
+                    # fabrication).
+                    return state
                 return tc(c, (OX, OY, OZ, DX, DY, DZ), state)
 
             def visit_super(sp, state):
@@ -770,6 +777,26 @@ def _make_kernel(
                 (t, slot, u, v, gnx, gny, gnz, mat, px, py, pz) = traverse(
                     ox, oy, oz, dx, dy, dz, eff, "full"
                 )
+                if "cullonly" in debug:
+                    # Timing ablation: the walk above RAN with identity
+                    # cluster bodies (all culls/conds, no triangle
+                    # arithmetic — see test_cluster), so every lane
+                    # missed; fabricate the notrace hit payload, with a
+                    # data dependence on the walk's t so the compiler
+                    # cannot eliminate the walk. full-vs-cullonly-vs-
+                    # notrace decomposes walk cost into visit arithmetic
+                    # vs cull scaffolding.
+                    t = jnp.full_like(ox, 2.0) + t * 1e-30
+                    slot = jnp.zeros_like(ox)
+                    u = jnp.full_like(ox, 0.3)
+                    v = jnp.full_like(ox, 0.3)
+                    gnx = jnp.zeros_like(ox)
+                    gny = jnp.ones_like(ox)
+                    gnz = jnp.zeros_like(ox)
+                    mat = jnp.zeros_like(ox)
+                    px = ox + t * dx
+                    py = oy + t * dy
+                    pz = oz + t * dz
             hit = slot >= 0.0
             if "nophys" in debug:
                 # Timing ablation: bounce = mirror the ray at the hit.

@@ -114,6 +114,7 @@ def main() -> None:
     t5 = timed("5 bounces, full", 1, "", chain=5)
     t5_nonee = timed("5 bounces, no NEE", 1, "nonee", chain=5)
     t5_nodist = timed("5 bounces, no dist", 1, "nodist", chain=5)
+    t5_cull = timed("5 bounces, cull-only walks", 1, "cullonly", chain=5)
     t5_notr = timed("5 bounces, phys only", 1, "notrace,nonee,nodist", chain=5)
     t5_off = timed("5 bounces, all off", 1, "notrace,nonee,nodist,nophys", chain=5)
     per = (t5 - t1) / 4
@@ -124,6 +125,8 @@ def main() -> None:
         f"  - dist trace     : {(t5 - t5_nodist) / 4 * 1e3:7.2f} ms\n"
         f"  - main traverse  : {(t5_nonee + t5_nodist - t5 - t5_notr) / 4 * 1e3:7.2f} ms (approx)\n"
         f"  - physics        : {(t5_notr - t5_off) / 4 * 1e3:7.2f} ms\n"
+        f"  - walk culls/scaffold (cullonly-physonly): {(t5_cull - t5_notr) / 4 * 1e3:7.2f} ms\n"
+        f"  - walk visit arithmetic (full-cullonly)  : {(t5 - t5_cull) / 4 * 1e3:7.2f} ms\n"
         f"  - loop scaffold  : {(t5_off - t1) / 4 * 1e3:7.2f} ms"
     )
 
