@@ -71,7 +71,8 @@ def render_beauty_sharded(
     so no single dispatch runs unboundedly long — same chunking contract
     as the single-device path).
 
-    ``engine='mega'`` runs the fused megakernel per shard (requires the
+    ``engine='mega'`` runs the fused megakernel per shard and
+    ``engine='binned'`` the binned per-lane tracer (both require the
     cluster backend); tracing stays communication-free either way — the
     engines differ only inside each device's shard.
     """
@@ -95,8 +96,18 @@ def render_beauty_sharded(
     row_starts = jnp.arange(n_tile, dtype=jnp.int32) * rows_per_tile
     sample_starts = jnp.arange(n_sample, dtype=jnp.uint32) * jnp.uint32(samples_per_dev)
 
-    if engine == "mega":
-        from ..render.megarender import render_beauty_mega as _beauty
+    if engine in ("mega", "binned"):
+        from functools import partial as _partial
+
+        from ..render.megarender import render_beauty_mega
+
+        # 'binned' rides the megarender driver with its per-pass kernel
+        # swapped (render/binnedrender.py); shard-local either way.
+        _beauty = (
+            _partial(render_beauty_mega, trace_engine="binned")
+            if engine == "binned"
+            else render_beauty_mega
+        )
     else:
         _beauty = render_beauty
 
