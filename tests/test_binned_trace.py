@@ -228,3 +228,13 @@ def test_binned_nee_overflow_matches():
         assert n_t == n_r, f"lane {lane}"
         np.testing.assert_array_equal(ts_t[lane][:n_t], ts_r[lane][:n_r])
         np.testing.assert_array_equal(ms_t[lane][:n_t], ms_r[lane][:n_r])
+
+
+def test_mat_id_field_guard():
+    """The NEE key packs the material id into 6 bits; the device grid
+    build must reject scenes that overflow the field."""
+    tris = _random_tris(8, seed=40)
+    mats = np.full(8, 64, np.int32)
+    with pytest.raises(ValueError, match="6 bits"):
+        device_cluster_grid(build_clusters(tris, mats, cluster_size=8),
+                            interpret=True)

@@ -155,3 +155,36 @@ def test_multihost_single_process(setup):
         )
     )
     np.testing.assert_array_equal(img, ref)
+
+
+@pytest.mark.slow
+def test_tile_sharded_binned_engine(setup):
+    """The binned per-lane tracer under shard_map (interpreter mode)
+    matches its own single-device render bit-for-bit: the engine's
+    internal lane re-sorting is shard-local."""
+    from complex_materials_renderer_tpu.accel.clusters import build_clusters
+    from complex_materials_renderer_tpu.kernels.pallas_trace import (
+        device_cluster_grid,
+    )
+    from complex_materials_renderer_tpu.render.megarender import (
+        render_beauty_mega,
+    )
+
+    tris, mats, media = make_test_scene()
+    scene, _ = assemble(tris, mats, media)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=3, rr_depth=2, nee_max_media=1)
+    cam, lights = fixture_camera(), fixture_lights()
+    ref = np.asarray(
+        render_beauty_mega(
+            cam, scene, grid, lights, (16, 16), 1,
+            trace_engine="binned", **kw,
+        )
+    )
+    img = np.asarray(
+        render_beauty_sharded(
+            cam, scene, grid, lights, (16, 16), 1,
+            mesh=make_render_mesh(), engine="binned", **kw,
+        )
+    )
+    np.testing.assert_array_equal(ref, img)
