@@ -260,27 +260,43 @@ def _make_round_kernel(
                     active = head < EMPTY
                     hid = head & ID_MASK
                     c = jnp.min(jnp.where(active, hid, BIGC))
-                    pop = active & (hid == c)
-                    # The same cluster can be tested against a lane once
-                    # per round it is any block-mate's head. Closest-hit
-                    # payloads are idempotent under re-tests; the NEE
-                    # K-list insert is not, so it accepts hits only on
-                    # the lane's OWN head pop (exactly once per listed
-                    # cluster; relist strictness prevents cross-
-                    # generation repeats).
-                    mask = (active & (hid == c)) if payload == "nee" else None
+                    # ANY-SLOT matching: serve every lane whose list
+                    # CONTAINS c, not just head matches. Group sizes are
+                    # the binned scheme's whole economics (head-only
+                    # matching measured 28 lanes per 1024-lane visit on
+                    # incoherent wavefronts = 2% SIMD efficiency), and a
+                    # lane holds each cluster at most once, so mid-list
+                    # removal keeps the entry-ascending invariant the
+                    # clear-on-cull above relies on.
+                    match = [
+                        (k < EMPTY) & ((k & ID_MASK) == c) for k in keys
+                    ]
+                    has_c = match[0]
+                    for m in match[1:]:
+                        has_c = has_c | m
+                    # Closest-hit payloads are idempotent under re-tests;
+                    # the NEE K-list insert is not, so it accepts hits
+                    # only on the serving that REMOVES the lane's slot
+                    # (exactly once per listed cluster; relist
+                    # strictness prevents cross-generation repeats).
+                    mask = has_c if payload == "nee" else None
                     state = jax.lax.cond(
                         c < BIGC,
                         lambda s: tc(jnp.minimum(c, C - 1), rays, s, mask),
                         lambda s: s,
                         state,
                     )
+                    # Remove the matched slot per lane (shift-compact).
+                    shift = jnp.zeros_like(has_c)
                     nk = []
-                    for i in range(L - 1):
-                        nk.append(jnp.where(pop, keys[i + 1], keys[i]))
-                    nk.append(
-                        jnp.where(pop, jnp.full_like(head, EMPTY), keys[L - 1])
-                    )
+                    for i in range(L):
+                        shift = shift | match[i]
+                        nxt = (
+                            keys[i + 1]
+                            if i + 1 < L
+                            else jnp.full_like(head, EMPTY)
+                        )
+                        nk.append(jnp.where(shift, nxt, keys[i]))
                     return tuple(nk), state, it + 1
 
                 keys_f, state_f, it_f = jax.lax.while_loop(
