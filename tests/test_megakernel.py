@@ -214,3 +214,31 @@ def test_mega_dynamic_schedule_modes(mode):
         )
     )
     np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_mega_dynamic_multiblock_skip():
+    """Dynamic live_blocks with a MULTI-block wavefront (advisor r2
+    finding: the 8x8 tests only ever exercised one block, so the
+    skipped-block path never ran in CI). A 64x32 frame = 2 kernel
+    blocks; as lanes die and the sorted wavefront shrinks below one
+    block, later bounces run with live_blocks=1 and the second block
+    must pass through explicitly — a garbled pass-through corrupts the
+    banked radiance of every dead lane."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    cam, lights = fixture_camera(), fixture_lights()
+    ref = np.asarray(
+        render_beauty_mega(
+            cam, scene, grid, lights, (64, 32), 1, schedule_mode="off", **kw
+        )
+    )
+    img = np.asarray(
+        render_beauty_mega(
+            cam, scene, grid, lights, (64, 32), 1, schedule_mode="all", **kw
+        )
+    )
+    assert np.all(np.isfinite(img))
+    np.testing.assert_allclose(img, ref, atol=1e-6)
