@@ -43,7 +43,7 @@ closest-hit / sorted-K-insertion results are visit-order independent.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+
 
 import jax
 import jax.numpy as jnp

@@ -357,7 +357,14 @@ def _make_kernel(
         rng_out_ref,  # VMEM out uint32
         depth_o,  # VMEM out int32
         alive_o,  # VMEM out int32
+        *scratch,  # VMEM (8,128) traversal-state tiles: 11 f32 + K_NEE i32
     ):
+        # Scratch-ref walk state pool (see traverse): the 'full' payload
+        # borrows the 11 f32 tiles, 'dist'/'occl' the first 2/1, 'nee'
+        # the K_NEE i32 tiles + f32 tile 0 for t_opq. Sequential
+        # traversals reuse the pool (each re-initializes it).
+        sc_f32 = scratch[:11]
+        sc_i32 = scratch[11:]
         # Entry tables for the ordered traversal live in vector registers
         # ((8,128) holds up to 1024 supers), updated by iota-mask selects:
         # dynamic-index SMEM *writes* crash the Mosaic compiler, and the
@@ -527,17 +534,64 @@ def _make_kernel(
                 state, _ = jax.lax.while_loop(ccond, cbody, (state, centries))
                 return state
 
+            if "ordered" not in debug and "carrywalk" not in debug:
+                # DEFAULT: linear tree-order walk with the traversal state
+                # in VMEM SCRATCH REFS instead of loop-carried registers.
+                # A scalar lax.cond that carries the hit state costs ~500
+                # cycles in phi/copy traffic regardless of which side runs
+                # (measured: +7 per-run conds per visit = +4.6 ms/bounce,
+                # NOTES round 3) — on small scenes the per-cluster cull
+                # gates alone were ~40% of walk time. With state in refs,
+                # the pl.when bodies mutate refs and the loops carry
+                # NOTHING: a culled cluster costs just the slab test +
+                # branch, and a visited one adds only the tile
+                # loads/stores around the unrolled triangle test.
+                regs = (
+                    sc_i32[:K_NEE] + (sc_f32[0],) if payload == "nee"
+                    else sc_f32[: len(state0)]
+                )
+                for r, v in zip(regs, state0):
+                    r[...] = v
+
+                def bound_ref():
+                    if payload == "nee":
+                        kth = nee_unpack_t(
+                            regs[K_NEE - 1][...], _INF, bitcast=pltpu.bitcast
+                        )
+                        return jnp.minimum(kth, regs[K_NEE][...])
+                    return regs[0][...]
+
+                def cluster_lin(c, carry):
+                    e = slab_entry_min(cb_ref, c, OX, OY, OZ, IX, IY, IZ,
+                                       bound_ref())
+
+                    @pl.when(e < _INF)
+                    def _():
+                        st = test_cluster(c, tuple(r[...] for r in regs))
+                        for r, v in zip(regs, st):
+                            r[...] = v
+
+                    return carry
+
+                def super_lin(sp, carry):
+                    lo = sp * SUPER_FACTOR
+                    hi = jnp.minimum(lo + SUPER_FACTOR, C)
+                    e = slab_entry_min(sb_ref, sp, OX, OY, OZ, IX, IY, IZ,
+                                       bound_ref())
+
+                    @pl.when(e < _INF)
+                    def _():
+                        jax.lax.fori_loop(lo, hi, cluster_lin, 0)
+
+                    return carry
+
+                jax.lax.fori_loop(s_lo, s_hi, super_lin, 0)
+                return tuple(r[...] for r in regs)
+
             if "ordered" not in debug:
-                # DEFAULT: linear tree-order traversal with scalar AABB
-                # culling per super/cluster. Measured FASTER than the
-                # nearest-first ordered walk below on every bench scene
-                # (showcase 1.52 vs 1.37, cup 0.133 vs 0.117 Mpaths/s):
-                # with per-bounce coherence sorting and the scene-box
-                # bound, the ordered walk's scalar machinery (per-super
-                # entry tables, pick_min selection loops, extra
-                # cross-lane reduces per visit) costs more than
-                # front-to-back early exit saves. The ordered walk stays
-                # as the CMR_MEGA_DEBUG=ordered ablation.
+                # CMR_MEGA_DEBUG=carrywalk ablation: the pre-round-3c
+                # register-carried walk (state threaded through lax.cond
+                # gates). Kept for the scratch-vs-carry A/B.
                 def cluster_lin(c, st):
                     e = slab_entry_min(cb_ref, c, OX, OY, OZ, IX, IY, IZ,
                                        bound_of(st))
@@ -1213,6 +1267,13 @@ def trace_paths_mega(
         # State streams through; blocks beyond live_blocks keep their
         # input values in place.
         input_output_aliases={6 + i: i for i in range(15)},
+        # Traversal-state pool for the scratch-ref walk: 11 f32 tiles
+        # (the 'full' payload's worst case; 'dist'/'occl' borrow a
+        # prefix) + K_NEE i32 tiles (the NEE sweep's packed keys).
+        scratch_shapes=(
+            [pltpu.VMEM((8, 128), jnp.float32)] * 11
+            + [pltpu.VMEM((8, 128), jnp.int32)] * (2 * nee_max_media)
+        ),
         interpret=grid.interpret,
     )(
         grid.bounds, grid.super_bounds, media9, misc, lb,
