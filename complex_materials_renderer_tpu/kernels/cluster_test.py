@@ -56,12 +56,14 @@ def nee_unpack_mat(key):
     return jnp.where(key == KEY_EMPTY, jnp.float32(-1.0), m)
 
 
-def payload_state0(payload: str, TMAX, K_NEE: int = 0):
+def payload_state0(payload: str, TMAX, K_NEE: int = 0, TMAX_B=None):
     """Initial traversal state for a payload kind.
 
     'full' -> (t, slot, u, v, nx, ny, nz, mat, px, py, pz)
     'nee'  -> K_NEE packed boundary keys (int32) + t_opq
     'dist' -> (t, slot);  'occl' -> (t,)
+    'dnee' -> (t, slot) for ray set A + K_NEE keys + t_opq for set B
+              (the fused dist+NEE sweep; TMAX_B bounds set B)
     t == per-lane TMAX on miss; slot/mat == -1.
     """
     zeros = jnp.zeros_like(TMAX)
@@ -72,6 +74,9 @@ def payload_state0(payload: str, TMAX, K_NEE: int = 0):
     if payload == "nee":
         empty = jnp.full(TMAX.shape, KEY_EMPTY, jnp.int32)
         return tuple([empty] * K_NEE) + (TMAX,)
+    if payload == "dnee":
+        empty = jnp.full(TMAX.shape, KEY_EMPTY, jnp.int32)
+        return (TMAX, neg1) + tuple([empty] * K_NEE) + (TMAX_B,)
     if payload == "occl":
         return (TMAX,)
     return (TMAX, neg1)
@@ -133,8 +138,23 @@ def make_cluster_tester(
         test the same cluster against a lane more than once (the binned
         round kernel re-tests a cluster whenever it is any block-mate's
         head) must mask insertions to exactly-once lanes or boundaries
-        duplicate in the list."""
-        OX, OY, OZ, DX, DY, DZ = rays
+        duplicate in the list.
+
+        'dnee' fuses the distance trace (ray set A) and the NEE sweep
+        (ray set B) over a SHARED ORIGIN — both start at the bounce's
+        hit point, so s = O - v0, q = s x e1 and the t numerator
+        e2 . q are computed once and the per-triangle scalar extracts
+        (the inner loop's real margin on this machine) are paid once
+        for both traces. ``rays`` is then (O..., D_A..., D_B...).
+        Results are bit-identical to separate walks: each set's accepts
+        are gated by its own geometry tests, extra visits are invisible
+        to strict closest-hit updates, and K-list inserts beyond the
+        K-th kept key or the opaque bound fall off the chain exactly as
+        an unvisited-because-culled cluster's would."""
+        if payload == "dnee":
+            OX, OY, OZ, DX, DY, DZ, DXB, DYB, DZB = rays
+        else:
+            OX, OY, OZ, DX, DY, DZ = rays
 
         def tri_step(row, r_off, j, state):
             ax = row[0 * run + j]
@@ -172,7 +192,56 @@ def make_cluster_tester(
             qy = sz * e1xj - sx * e1zj
             qz = sx * e1yj - sy * e1xj
             vv = (DX * qx + DY * qy + DZ * qz) * inv_det
-            tt = (e2xj * qx + e2yj * qy + e2zj * qz) * inv_det
+            t_num = e2xj * qx + e2yj * qy + e2zj * qz
+            tt = t_num * inv_det
+            if payload == "dnee":
+                # Set A (distance trace): closest hit as in 'dist'.
+                t_best, slot = state[0], state[1]
+                improved = (
+                    (uu >= -eps)
+                    & (vv >= -eps)
+                    & (uu + vv <= 1.0 + eps)
+                    & (tt > t_min)
+                    & (tt < t_best)
+                )
+                t_best = jnp.where(improved, tt, t_best)
+                slot = jnp.where(improved, r_off + j, slot)
+                # Set B (NEE sweep): s/q/t_num reuse; only p/det and the
+                # dot products against D_B are per-set.
+                pbx = DYB * e2zj - DZB * e2yj
+                pby = DZB * e2xj - DXB * e2zj
+                pbz = DXB * e2yj - DYB * e2xj
+                detb = e1xj * pbx + e1yj * pby + e1zj * pbz
+                inv_b = 1.0 / jnp.where(
+                    jnp.abs(detb) > 1e-12, detb, jnp.float32(1e30)
+                )
+                ub = (sx * pbx + sy * pby + sz * pbz) * inv_b
+                vb = (DXB * qx + DYB * qy + DZB * qz) * inv_b
+                tb = t_num * inv_b
+                keys = list(state[2 : 2 + K_NEE])
+                t_opq = state[2 + K_NEE]
+                med = is_media_mat(mat_j)
+                valid_geom = (
+                    (ub >= -eps)
+                    & (vb >= -eps)
+                    & (ub + vb <= 1.0 + eps)
+                    & (tb > t_min)
+                )
+                t_opq = jnp.where(
+                    valid_geom & ~med & (tb < t_opq), tb, t_opq
+                )
+                valid = valid_geom & med & (tb < t_opq)
+                mat_i = mat_j.astype(jnp.int32)
+                cand = jnp.where(
+                    valid,
+                    (bitcast(tb, jnp.int32) & ~NEE_MAT_MASK) | mat_i,
+                    KEY_EMPTY,
+                )
+                for i in range(K_NEE):
+                    s = keys[i]
+                    keys[i] = jnp.minimum(cand, s)
+                    cand = jnp.maximum(cand, s)
+                return (t_best, slot) + tuple(keys) + (t_opq,)
             if payload == "nee":
                 # Opaque/media split at the TRIANGLE level: the material
                 # id is a per-run scalar, so the media check costs ~2

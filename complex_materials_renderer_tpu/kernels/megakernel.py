@@ -337,6 +337,15 @@ def _make_kernel(
     """
     t_min = np.float32(t_min)
     t_max_f = np.float32(t_max)
+    # Fused dist+NEE walk (CMR_MEGA_DEBUG token 'fuse'): collapses the
+    # per-bounce dist trace + occlusion walk + NEE sweep into ONE 'dnee'
+    # traversal from the shared hit-point origin. Requires the scratch-
+    # ref walk (not the ordered/carrywalk ablations) and both traces
+    # enabled.
+    _dbg_tokens = set(debug.split(","))
+    fused = "fuse" in _dbg_tokens and not (
+        {"ordered", "carrywalk", "nonee", "nodist"} & _dbg_tokens
+    )
 
     def kernel(
         cb_ref,  # SMEM (C, 8) cluster AABBs
@@ -423,7 +432,8 @@ def _make_kernel(
         K_NEE = 2 * nee_max_media  # tracked hits in the NEE multi-hit sweep
 
         def traverse(OX, OY, OZ, DX, DY, DZ, TMAX, payload: str,
-                     s_lo: int = 0, s_hi: int | None = None):
+                     s_lo: int = 0, s_hi: int | None = None,
+                     DB=None, TMAXB=None):
             """Ordered early-terminating traversal over supers
             [``s_lo``, ``s_hi``) — the full scene by default; the NEE
             sweep passes the opaque/media sub-ranges of a partitioned
@@ -451,21 +461,39 @@ def _make_kernel(
                                everything toward the light.
                      'dist' -> closest hit (t, slot)
                      'occl' -> closest hit distance only (t,)
+                     'dnee' -> ONE fused walk serving the distance trace
+                               (set A: O/D/TMAX as usual) AND the NEE
+                               boundary sweep (set B: directions ``DB``,
+                               bound ``TMAXB``) from the SHARED origin
+                               — returns (t, slot) + K_NEE keys + t_opq.
+                               Each cluster is culled against the MIN of
+                               the two sets' slab entries under their
+                               own bounds; the fused triangle test
+                               (cluster_test 'dnee') pays the scalar
+                               extracts and the origin-only algebra
+                               once for both. Scratch-walk only.
             t == per-lane TMAX on miss; slot/mat == -1. Dead lanes are
             encoded as TMAX <= t_min and never match.
             """
             if s_hi is None:
                 s_hi = S
             IX, IY, IZ = _safe_inv(DX), _safe_inv(DY), _safe_inv(DZ)
+            if payload == "dnee":
+                assert "ordered" not in debug and "carrywalk" not in debug
+                DXB, DYB, DZB = DB
+                IXB = _safe_inv(DXB)
+                IYB = _safe_inv(DYB)
+                IZB = _safe_inv(DZB)
 
-            if payload in ("full", "dist"):
+            if payload in ("full", "dist", "dnee"):
                 # Clamp the walk bound to the scene-box exit: all geometry
                 # lives inside it, so a lane that misses everything stops
                 # forcing cluster visits at the box boundary instead of
                 # carrying t_best = 1e4 along its whole ray. (The NEE
                 # sweep's and occlusion walk's miss sentinels must stay
                 # == the caller's eff, and their bound is already the
-                # light distance.)
+                # light distance — for 'dnee' the clamp applies to set A
+                # only; set B's TMAXB stays the caller's eff.)
                 def axis_exit(lo_i, hi_i, O, INV):
                     return jnp.maximum(
                         (misc_ref[lo_i] - O) * INV, (misc_ref[hi_i] - O) * INV
@@ -480,7 +508,7 @@ def _make_kernel(
                     TMAX, jnp.maximum(tf, 0.0) * 1.0001 + 10.0 * t_min
                 )
 
-            state0 = payload_state0(payload, TMAX, K_NEE)
+            state0 = payload_state0(payload, TMAX, K_NEE, TMAX_B=TMAXB)
 
             def bound_of(state):
                 """Early-exit bound (see cluster_test.payload_bound)."""
@@ -493,6 +521,12 @@ def _make_kernel(
                 bitcast=pltpu.bitcast,
             )
 
+            rays = (
+                (OX, OY, OZ, DX, DY, DZ, DXB, DYB, DZB)
+                if payload == "dnee"
+                else (OX, OY, OZ, DX, DY, DZ)
+            )
+
             def test_cluster(c, state):
                 """Shared statically-unrolled 128-triangle cluster test
                 (kernels/cluster_test.py — one source of truth for both
@@ -503,7 +537,7 @@ def _make_kernel(
                     # triangle arithmetic (see the bounce()'s cullonly
                     # fabrication).
                     return state
-                return tc(c, (OX, OY, OZ, DX, DY, DZ), state)
+                return tc(c, rays, state)
 
             def visit_super(sp, state):
                 lo = sp * SUPER_FACTOR
@@ -546,10 +580,15 @@ def _make_kernel(
                 # NOTHING: a culled cluster costs just the slab test +
                 # branch, and a visited one adds only the tile
                 # loads/stores around the unrolled triangle test.
-                regs = (
-                    sc_i32[:K_NEE] + (sc_f32[0],) if payload == "nee"
-                    else sc_f32[: len(state0)]
-                )
+                if payload == "nee":
+                    regs = sc_i32[:K_NEE] + (sc_f32[0],)
+                elif payload == "dnee":
+                    # (t, slot) f32 + K_NEE packed keys i32 + t_opq f32
+                    regs = tuple(sc_f32[:2]) + tuple(sc_i32[:K_NEE]) + (
+                        sc_f32[2],
+                    )
+                else:
+                    regs = sc_f32[: len(state0)]
                 for r, v in zip(regs, state0):
                     r[...] = v
 
@@ -561,9 +600,29 @@ def _make_kernel(
                         return jnp.minimum(kth, regs[K_NEE][...])
                     return regs[0][...]
 
-                def cluster_lin(c, carry):
-                    e = slab_entry_min(cb_ref, c, OX, OY, OZ, IX, IY, IZ,
+                def bound_ref_b():
+                    """Set-B (NEE) bound of the fused 'dnee' walk."""
+                    kth = nee_unpack_t(
+                        regs[2 + K_NEE - 1][...], _INF, bitcast=pltpu.bitcast
+                    )
+                    return jnp.minimum(kth, regs[2 + K_NEE][...])
+
+                def entry_min(ref, idx):
+                    """Min slab entry over the walk's ray set(s): a
+                    cluster survives the cull if EITHER set still needs
+                    it under its own early-exit bound."""
+                    e = slab_entry_min(ref, idx, OX, OY, OZ, IX, IY, IZ,
                                        bound_ref())
+                    if payload == "dnee":
+                        e = jnp.minimum(
+                            e,
+                            slab_entry_min(ref, idx, OX, OY, OZ,
+                                           IXB, IYB, IZB, bound_ref_b()),
+                        )
+                    return e
+
+                def cluster_lin(c, carry):
+                    e = entry_min(cb_ref, c)
 
                     @pl.when(e < _INF)
                     def _():
@@ -576,8 +635,7 @@ def _make_kernel(
                 def super_lin(sp, carry):
                     lo = sp * SUPER_FACTOR
                     hi = jnp.minimum(lo + SUPER_FACTOR, C)
-                    e = slab_entry_min(sb_ref, sp, OX, OY, OZ, IX, IY, IZ,
-                                       bound_ref())
+                    e = entry_min(sb_ref, sp)
 
                     @pl.when(e < _INF)
                     def _():
@@ -681,6 +739,24 @@ def _make_kernel(
                 return cr, cg, cb
             return base, base, base
 
+        def nee_setup(px, py, pz, active):
+            """Light direction/distance and inverse-square falloff
+            (volpath:342-345); ``eff`` is the per-lane walk bound (0 for
+            inactive lanes — they never match)."""
+            tlx = lx - px
+            tly = ly - py
+            tlz = lz - pz
+            ldist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+            inv = 1.0 / jnp.maximum(ldist, 1e-20)
+            ldx = tlx * inv
+            ldy = tly * inv
+            ldz = tlz * inv
+            lv_r = lir * inv * inv
+            lv_g = lig * inv * inv
+            lv_b = lib * inv * inv
+            eff = jnp.where(active, ldist, 0.0)
+            return ldx, ldy, ldz, ldist, eff, lv_r, lv_g, lv_b
+
         def nee_march(px, py, pz, active):
             """Direct light through media boundaries (volpath:337-426;
             integrator.sample_direct_light). ONE multi-hit traversal
@@ -703,19 +779,9 @@ def _make_kernel(
             Unresolved
             marches (every list entry consumed as a boundary) fail dark,
             matching the wavefront engine's bounded-march semantics."""
-            tlx = lx - px
-            tly = ly - py
-            tlz = lz - pz
-            ldist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
-            inv = 1.0 / jnp.maximum(ldist, 1e-20)
-            ldx = tlx * inv
-            ldy = tly * inv
-            ldz = tlz * inv
-            lv_r = lir * inv * inv
-            lv_g = lig * inv * inv
-            lv_b = lib * inv * inv
-
-            eff = jnp.where(active, ldist, 0.0)
+            (ldx, ldy, ldz, ldist, eff, lv_r, lv_g, lv_b) = nee_setup(
+                px, py, pz, active
+            )
             if S_OPQ > 0:
                 # Partitioned grid: nearest opaque occluder from a cheap
                 # closest-hit walk over the opaque supers; the K-list
@@ -732,13 +798,22 @@ def _make_kernel(
             else:
                 hits = traverse(px, py, pz, ldx, ldy, ldz, eff, "nee")
                 t_op = hits[K_NEE]
+            return nee_resolve(
+                hits[:K_NEE], t_op, eff, ldist, lv_r, lv_g, lv_b, active
+            )
+
+        def nee_resolve(keys, t_op, eff, ldist, lv_r, lv_g, lv_b, active):
+            """Replay the reference's per-leg shadow-march logic over the
+            K collected boundary keys (see nee_march's docstring for the
+            semantics and the one known per-leg divergence)."""
             # Unpack the K packed boundary keys once per trace; empty
             # slots read as the per-lane eff (the pre-packing slot init),
             # so the march's resolve/fail-dark behavior is unchanged.
             ts = [nee_unpack_t(k, eff, bitcast=pltpu.bitcast)
-                  for k in hits[:K_NEE]]
-            ms = [nee_unpack_mat(k) for k in hits[:K_NEE]]
+                  for k in keys]
+            ms = [nee_unpack_mat(k) for k in keys]
 
+            px = eff  # shape donor for the ones/zeros below
             ones = jnp.ones_like(px)
             tr_r = ones
             tr_g = ones
@@ -898,6 +973,10 @@ def _make_kernel(
                 rand_d, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b
             )
 
+            diffuse = got_hit & ~has_med
+            backface = diffuse & (_dot3(dx, dy, dz, nx, ny, nz) > 0.0)
+            shade = diffuse & ~backface
+
             # --- distance-to-boundary trace (volpath:675-688) ---
             # NB a medium-shell-AABB clamp on entering lanes was tried
             # and REVERTED: it assumes closed shells, but the reference
@@ -906,25 +985,52 @@ def _make_kernel(
             # AABB — it changed cup's image (mean 0.0467 vs 0.0525) for
             # only +5%. The only sound per-lane bounds are the
             # free-flight candidate and the scene box.
-            def dist_trace(_):
-                bound = jnp.minimum(
-                    cand * 1.00001 + 10.0 * t_min, t_max_f
+            if fused:
+                # --- fused dist+NEE walk ('dnee') ---
+                # ONE traversal serves the distance trace (set A:
+                # transmitted lanes along the post-boundary direction,
+                # bounded by the free-flight candidate) and the NEE
+                # boundary sweep (set B: lanes that may need direct
+                # light, along the light direction) from the SHARED
+                # hit-point origin: per-visit scalar extracts and the
+                # origin-only Moller-Trumbore algebra (s, q, t-numerator)
+                # are paid once for both, and the walk visits the UNION
+                # of the two footprints instead of their sum. NEE
+                # activity must be decided BEFORE the scatter draw, so
+                # set B uses the superset transmitted | shade: pass-
+                # through lanes compute li_* that the scatter gates below
+                # discard — they draw no RNG and alter no state, so
+                # images are bit-identical to the separate walks.
+                (ldx, ldy, ldz, ldist, eff_b, lv_r, lv_g, lv_b) = nee_setup(
+                    px, py, pz, transmitted | shade
                 )
-                dt, dslot = traverse(
+                bound = jnp.minimum(cand * 1.00001 + 10.0 * t_min, t_max_f)
+                dn = traverse(
                     px, py, pz, dax, day, daz,
-                    jnp.where(transmitted, bound, 0.0), "dist"
+                    jnp.where(transmitted, bound, 0.0), "dnee",
+                    DB=(ldx, ldy, ldz), TMAXB=eff_b,
                 )
-                return jnp.where(dslot >= 0.0, dt, t_max_f)
-
-            if "nodist" in debug:
-                seg_len = jnp.full_like(px, t_max_f)
+                seg_len = jnp.where(dn[1] >= 0.0, dn[0], t_max_f)
             else:
-                seg_len = jax.lax.cond(
-                    jnp.any(transmitted),
-                    dist_trace,
-                    lambda _: jnp.full_like(px, t_max_f),
-                    None,
-                )
+                def dist_trace(_):
+                    bound = jnp.minimum(
+                        cand * 1.00001 + 10.0 * t_min, t_max_f
+                    )
+                    dt, dslot = traverse(
+                        px, py, pz, dax, day, daz,
+                        jnp.where(transmitted, bound, 0.0), "dist"
+                    )
+                    return jnp.where(dslot >= 0.0, dt, t_max_f)
+
+                if "nodist" in debug:
+                    seg_len = jnp.full_like(px, t_max_f)
+                else:
+                    seg_len = jax.lax.cond(
+                        jnp.any(transmitted),
+                        dist_trace,
+                        lambda _: jnp.full_like(px, t_max_f),
+                        None,
+                    )
 
             # --- free-flight sampling (volpath:691) ---
             (succ, ms_t, prob_fail, prob_success, tr_r, tr_g, tr_b) = (
@@ -936,13 +1042,14 @@ def _make_kernel(
                 scatter = scatter & ~tir1
             pass_med = transmitted & ~scatter
 
-            diffuse = got_hit & ~has_med
-            backface = diffuse & (_dot3(dx, dy, dz, nx, ny, nz) > 0.0)
-            shade = diffuse & ~backface
-
             # --- NEE (volpath:697/:773; no RNG draws) ---
             if "nonee" in debug:
                 li_r = li_g = li_b = jnp.ones_like(px)
+            elif fused:
+                li_r, li_g, li_b = nee_resolve(
+                    dn[2:2 + K_NEE], dn[2 + K_NEE], eff_b, ldist,
+                    lv_r, lv_g, lv_b, transmitted | shade,
+                )
             else:
                 li_r, li_g, li_b = nee_march(px, py, pz, scatter | shade)
 

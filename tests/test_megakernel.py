@@ -171,11 +171,14 @@ def test_mega_counter_sample_packing_matches():
 
 
 @pytest.mark.slow
-def test_mega_ordered_traversal_matches():
-    """The retained CMR_MEGA_DEBUG=ordered ablation (nearest-first
-    ordered walk) must render the same image as the default linear
-    culled traversal — both are exact traversals, differing only in
-    visit order."""
+@pytest.mark.parametrize("ablation", ["ordered", "carrywalk"])
+def test_mega_ordered_traversal_matches(ablation):
+    """The retained CMR_MEGA_DEBUG traversal ablations — 'ordered'
+    (nearest-first ordered walk) and 'carrywalk' (register-carried
+    state through lax.cond gates, the pre-scratch-ref walk) — must
+    render the same image as the default scratch-ref linear culled
+    traversal: all are exact traversals, differing only in visit order
+    / state residency."""
     tris, mats, media = make_test_scene()
     scene = make_scene_arrays(tris, mats, media, 1.0, 1)
     grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
@@ -184,12 +187,43 @@ def test_mega_ordered_traversal_matches():
     img_lin = np.asarray(
         render_beauty_mega(cam, scene, grid, lights, (8, 8), 1, **kw)
     )
-    img_ord = np.asarray(
+    img_abl = np.asarray(
         render_beauty_mega(
-            cam, scene, grid, lights, (8, 8), 1, debug="ordered", **kw
+            cam, scene, grid, lights, (8, 8), 1, debug=ablation, **kw
         )
     )
-    np.testing.assert_allclose(img_ord, img_lin, atol=1e-6)
+    np.testing.assert_allclose(img_abl, img_lin, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_mega_fused_dnee_matches():
+    """The fused dist+NEE walk (CMR_MEGA_DEBUG=fuse -> one 'dnee'
+    traversal from the shared hit-point origin) must render the same
+    image as the separate dist trace + NEE sweep: per-set accepts are
+    gated by their own geometry tests, and the tighter evolving opaque
+    bound only prunes list entries the march ignores anyway. Checked on
+    both the plain and the opaque/media-partitioned grid (where 'fuse'
+    replaces THREE walks: dist + occlusion + K-list sweep)."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    cam, lights = fixture_camera(), fixture_lights()
+    for grid in (
+        device_cluster_grid(build_clusters(tris, mats, cluster_size=8)),
+        device_cluster_grid(
+            build_clusters(tris, mats, cluster_size=8, media_mats={1})
+        ),
+    ):
+        img_sep = np.asarray(
+            render_beauty_mega(cam, scene, grid, lights, (8, 8), 1, **kw)
+        )
+        img_fus = np.asarray(
+            render_beauty_mega(
+                cam, scene, grid, lights, (8, 8), 1, debug="fuse", **kw
+            )
+        )
+        assert np.all(np.isfinite(img_fus))
+        np.testing.assert_allclose(img_fus, img_sep, atol=1e-6)
 
 
 @pytest.mark.slow
