@@ -337,14 +337,14 @@ def _make_kernel(
     """
     t_min = np.float32(t_min)
     t_max_f = np.float32(t_max)
-    # Fused dist+NEE walk (CMR_MEGA_DEBUG token 'fuse'): collapses the
-    # per-bounce dist trace + occlusion walk + NEE sweep into ONE 'dnee'
-    # traversal from the shared hit-point origin. Requires the scratch-
-    # ref walk (not the ordered/carrywalk ablations) and both traces
-    # enabled.
+    # Fused dist+NEE walk (DEFAULT; CMR_MEGA_DEBUG token 'nofuse' for
+    # the separate-walks ablation): collapses the per-bounce dist trace
+    # + occlusion walk + NEE sweep into ONE 'dnee' traversal from the
+    # shared hit-point origin. Requires the scratch-ref walk (not the
+    # ordered/carrywalk ablations) and both traces enabled.
     _dbg_tokens = set(debug.split(","))
-    fused = "fuse" in _dbg_tokens and not (
-        {"ordered", "carrywalk", "nonee", "nodist"} & _dbg_tokens
+    fused = not (
+        {"nofuse", "ordered", "carrywalk", "nonee", "nodist"} & _dbg_tokens
     )
 
     def kernel(

@@ -197,13 +197,14 @@ def test_mega_ordered_traversal_matches(ablation):
 
 @pytest.mark.slow
 def test_mega_fused_dnee_matches():
-    """The fused dist+NEE walk (CMR_MEGA_DEBUG=fuse -> one 'dnee'
-    traversal from the shared hit-point origin) must render the same
-    image as the separate dist trace + NEE sweep: per-set accepts are
-    gated by their own geometry tests, and the tighter evolving opaque
-    bound only prunes list entries the march ignores anyway. Checked on
-    both the plain and the opaque/media-partitioned grid (where 'fuse'
-    replaces THREE walks: dist + occlusion + K-list sweep)."""
+    """The fused dist+NEE walk (the DEFAULT — one 'dnee' traversal from
+    the shared hit-point origin) must render the same image as the
+    separate dist trace + NEE sweep (CMR_MEGA_DEBUG=nofuse): per-set
+    accepts are gated by their own geometry tests, and the tighter
+    evolving opaque bound only prunes list entries the march ignores
+    anyway. Checked on both the plain and the opaque/media-partitioned
+    grid (where the fused walk replaces THREE walks: dist + occlusion +
+    K-list sweep)."""
     tris, mats, media = make_test_scene()
     scene = make_scene_arrays(tris, mats, media, 1.0, 1)
     kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
@@ -215,12 +216,12 @@ def test_mega_fused_dnee_matches():
         ),
     ):
         img_sep = np.asarray(
-            render_beauty_mega(cam, scene, grid, lights, (8, 8), 1, **kw)
+            render_beauty_mega(
+                cam, scene, grid, lights, (8, 8), 1, debug="nofuse", **kw
+            )
         )
         img_fus = np.asarray(
-            render_beauty_mega(
-                cam, scene, grid, lights, (8, 8), 1, debug="fuse", **kw
-            )
+            render_beauty_mega(cam, scene, grid, lights, (8, 8), 1, **kw)
         )
         assert np.all(np.isfinite(img_fus))
         np.testing.assert_allclose(img_fus, img_sep, atol=1e-6)
