@@ -110,24 +110,32 @@ def main() -> None:
 
     n_blocks = (r + 1023) // 1024
     print(f"lanes={r} blocks={n_blocks}")
-    t1 = timed("1 bounce, full", 1, "", chain=1)
-    t5 = timed("5 bounces, full", 1, "", chain=5)
+    # NB 'nonee'/'nodist' imply the SEPARATE-walks path (fusion needs
+    # both traces), so their deltas are taken against the 'nofuse'
+    # baseline; the fused dnee walk's cost comes from the both-off delta
+    # against the fused default.
+    t1 = timed("1 bounce, full (fused)", 1, "", chain=1)
+    t5 = timed("5 bounces, full (fused)", 1, "", chain=5)
+    t5_nofuse = timed("5 bounces, separate walks", 1, "nofuse", chain=5)
     t5_nonee = timed("5 bounces, no NEE", 1, "nonee", chain=5)
     t5_nodist = timed("5 bounces, no dist", 1, "nodist", chain=5)
+    t5_both = timed("5 bounces, no dist+NEE", 1, "nonee,nodist", chain=5)
     t5_cull = timed("5 bounces, cull-only walks", 1, "cullonly", chain=5)
     t5_notr = timed("5 bounces, phys only", 1, "notrace,nonee,nodist", chain=5)
     t5_off = timed("5 bounces, all off", 1, "notrace,nonee,nodist,nophys", chain=5)
     per = (t5 - t1) / 4
     print(
         f"\ndevice-time slopes (bounces 1-4, {n_blocks} blocks):\n"
-        f"  full bounce      : {per * 1e3:7.2f} ms\n"
-        f"  - NEE march      : {(t5 - t5_nonee) / 4 * 1e3:7.2f} ms\n"
-        f"  - dist trace     : {(t5 - t5_nodist) / 4 * 1e3:7.2f} ms\n"
-        f"  - main traverse  : {(t5_nonee + t5_nodist - t5 - t5_notr) / 4 * 1e3:7.2f} ms (approx)\n"
-        f"  - physics        : {(t5_notr - t5_off) / 4 * 1e3:7.2f} ms\n"
+        f"  full bounce (fused)   : {per * 1e3:7.2f} ms\n"
+        f"  - fused dnee walk     : {(t5 - t5_both) / 4 * 1e3:7.2f} ms\n"
+        f"  - fusion gain vs sep  : {(t5_nofuse - t5) / 4 * 1e3:7.2f} ms\n"
+        f"  - sep NEE march       : {(t5_nofuse - t5_nonee) / 4 * 1e3:7.2f} ms\n"
+        f"  - sep dist trace      : {(t5_nofuse - t5_nodist) / 4 * 1e3:7.2f} ms\n"
+        f"  - main traverse       : {(t5_both - t5_notr) / 4 * 1e3:7.2f} ms\n"
+        f"  - physics             : {(t5_notr - t5_off) / 4 * 1e3:7.2f} ms\n"
         f"  - walk culls/scaffold (cullonly-physonly): {(t5_cull - t5_notr) / 4 * 1e3:7.2f} ms\n"
         f"  - walk visit arithmetic (full-cullonly)  : {(t5 - t5_cull) / 4 * 1e3:7.2f} ms\n"
-        f"  - loop scaffold  : {(t5_off - t1) / 4 * 1e3:7.2f} ms"
+        f"  - loop scaffold       : {(t5_off - t1) / 4 * 1e3:7.2f} ms"
     )
 
 
