@@ -74,6 +74,34 @@ def test_mega_partitioned_grid_matches():
 
 
 @pytest.mark.slow
+def test_mega_cluster_width_invariant():
+    """The image must not depend on the cluster width: closest-hit
+    updates are strict (order-independent) and the NEE K-list keeps the
+    K nearest keys regardless of insertion order, so regrouping
+    triangles into narrower/wider clusters renders the same frame.
+    Guards the width flip motivated by tools/study_width.py (width
+    32/64 models 1.26-1.40x faster on dense-media scenes)."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    imgs = []
+    for width in (8, 16, 32):
+        grid = device_cluster_grid(
+            build_clusters(tris, mats, cluster_size=width)
+        )
+        imgs.append(
+            np.asarray(
+                render_beauty_mega(
+                    fixture_camera(), scene, grid, fixture_lights(),
+                    (8, 8), 1, **kw
+                )
+            )
+        )
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
+    np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-5)
+
+
+@pytest.mark.slow
 def test_mega_skipped_blocks_pass_through():
     """Blocks beyond ``live_blocks`` must pass their state through
     EXPLICITLY (the kernel copies input refs to output refs; it may not
