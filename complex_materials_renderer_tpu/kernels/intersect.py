@@ -13,8 +13,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-T_MISS = jnp.float32(1e30)
+# np (not jnp): a module-level jnp constant initializes the XLA backend
+# at import, breaking import-before-jax.distributed.initialize().
+T_MISS = np.float32(1e30)
 _DET_EPS = 1e-12
 # Barycentric tolerance: Vulkan's fixed-function traversal is watertight
 # along shared edges; a strict u,v >= 0 test drops rays that land exactly on

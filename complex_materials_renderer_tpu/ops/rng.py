@@ -15,12 +15,16 @@ mesh requires (reference seeds per pixel only, volpath:575).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_MULT = jnp.uint32(747796405)
-_INC = jnp.uint32(1)
-_OUT_MULT = jnp.uint32(277803737)
+# numpy (not jnp) scalars: module-level jnp constants would initialize
+# the XLA backend at import time, which breaks multi-host programs that
+# must import libraries before jax.distributed.initialize().
+_MULT = np.uint32(747796405)
+_INC = np.uint32(1)
+_OUT_MULT = np.uint32(277803737)
 # float(0xFFFFFFFF) rounds to 2^32 in fp32, same as the GLSL literal.
-_INV_U32 = jnp.float32(1.0) / jnp.float32(4294967295.0)
+_INV_U32 = np.float32(1.0) / np.float32(4294967295.0)
 
 
 def step(state: jnp.ndarray) -> jnp.ndarray:

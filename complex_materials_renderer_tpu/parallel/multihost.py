@@ -33,8 +33,15 @@ def init_distributed(
     process_id: int | None = None,
 ) -> None:
     """Initialize jax.distributed (no-op when already initialized or when
-    running single-process with no coordinator)."""
-    if jax.process_count() > 1:
+    running single-process with no coordinator).
+
+    Must not touch the XLA backend before jax.distributed.initialize()
+    (jax.process_count() / jax.devices() would initialize it and make
+    initialize() raise), so the already-initialized check reads the
+    distributed client state directly."""
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
         return  # already initialized
     if coordinator_address is None and num_processes in (None, 1):
         return  # single host, nothing to do

@@ -19,11 +19,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..kernels.traverse import DeviceBVH, trace_closest
 from ..ops.camera import Camera, generate_rays
 
-_SKY = jnp.array([0.0, 0.0, 0.5], jnp.float32)
+_SKY = np.array([0.0, 0.0, 0.5], np.float32)
 T_MAX = 1e4  # main loop tMax (volpath:619); debug kernels use the same bound
 
 

@@ -1,6 +1,7 @@
 """Sharding equivalence on the 8-virtual-device CPU mesh (SURVEY §4:
 sharded-vs-single-chip bit-equivalence)."""
 
+import os
 import jax
 import numpy as np
 import pytest
@@ -188,3 +189,57 @@ def test_tile_sharded_binned_engine(setup):
         )
     )
     np.testing.assert_array_equal(ref, img)
+
+
+@pytest.mark.slow
+def test_multihost_two_processes(setup, tmp_path):
+    """REAL multi-process multihost: two separate interpreters form a
+    jax.distributed job on the CPU backend (2 virtual devices each, so
+    the global ('sample','tile') mesh spans processes) and render via
+    multihost.render_multihost — exercising the cross-host allgather
+    branch that single-process tests cannot reach. Both workers must
+    return the full frame, identical to the single-process sharded
+    render (global (pixel, sample) seeding makes the decomposition
+    invisible)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    scene, bvh, cam, lights = setup
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    # The axon sitecustomize registers its PJRT plugin at interpreter
+    # start when this is set, which initializes the XLA backend before
+    # jax.distributed.initialize() can run — strip it so the worker
+    # boots a plain CPU interpreter.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = [str(tmp_path / f"img{i}.npy") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), "2", str(port), outs[i]],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+
+    imgs = [np.load(o) for o in outs]
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    ref = np.asarray(
+        render_beauty_sharded(
+            cam, scene, bvh, lights, (16, 16), 2,
+            mesh=make_render_mesh(), rng_mode="counter",
+        )
+    )
+    np.testing.assert_array_equal(imgs[0], ref)
