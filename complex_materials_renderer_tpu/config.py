@@ -45,6 +45,7 @@ class RenderOptions:
     shard: str = "auto"  # auto | none — tile-shard over available devices
     leaf_size: int = 4  # BVH max triangles per leaf
     cluster_size: int = 128  # Pallas tracer cluster width (lane vector)
+    partition: str = "off"  # off | media — opaque/media cluster segregation
     checkpoint: str = ""  # optional .npz accumulate-buffer checkpoint path
     profile: str = ""  # optional dir for a jax.profiler trace of the render
 
@@ -161,6 +162,10 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
             v, i = take_value(i)
             if v is not None:
                 opt.cluster_size = int(v)
+        elif a == "--partition":
+            v, i = take_value(i)
+            if v is not None:
+                opt.partition = v
         elif a == "--shard":
             v, i = take_value(i)
             if v is not None:

@@ -95,9 +95,17 @@ class Renderer:
                     # the tighter AABBs save. Off by default; available
                     # for scenes with pathological scene-spanning fans.
                     #
-                    # Opaque/media segregation lets the NEE sweep run its
-                    # K-list collection over media clusters only.
-                    media_mats=None,  # A/B: segregation measured on/off
+                    # Opaque/media segregation lets the NEE sweep run
+                    # its K-list collection over media clusters only and
+                    # the fused dnee walk serve dist+occlusion+K-list in
+                    # one pass over the partitioned ranges
+                    # (--partition media; off measured best pre-fusion).
+                    media_mats=(
+                        set(int(m) for m in scene.media.mat_id if int(m) >= 0)
+                        if self.options.partition == "media"
+                        and scene.media is not None
+                        else None
+                    ),
                 )
                 build_fn = lambda: device_cluster_grid(self._host_accel)
             else:
