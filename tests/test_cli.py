@@ -45,6 +45,9 @@ def test_extension_flags():
     assert opt.aov == "depth"
     assert opt.rng == "counter"
     assert opt.max_depth == 8
+    opt = parse_argv(["--cluster-size", "32", "--partition", "media"])
+    assert opt.cluster_size == 32
+    assert opt.partition == "media"
 
 
 def _write_tiny_scene(tmp_path):
