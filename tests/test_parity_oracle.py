@@ -73,32 +73,20 @@ def test_wavefront_matches_glsl_oracle():
     )
 
 
-@pytest.mark.slow
-def test_cup_matches_glsl_oracle():
-    """The reference's own flagship dense-media scene (cup.obj: presso
-    coffee + glass, 20,624 tris) vs the independent GLSL transcription.
-
-    The fixture-scene gate above exercises every code path, but cup is
-    the workload the reference is NAMED for — deep multiple scattering in
-    a high-extinction medium behind nested refractive shells — and the
-    scene where a common-mode misreading of volpath's medium handling
-    (sigma scaling model.cpp:141-ish, boundary stacking, NEE through two
-    shells) would actually show. 12x12@2 keeps the scalar oracle's
-    brute-force closest-hit (20.6k tris/query in numpy) inside the slow
-    lane's budget."""
+def _reference_scene_oracle_gate(name, res, spp):
+    """Engine-vs-oracle gate on a real reference scene (camera, light,
+    scale, media all from its shipped .json via the production loader)."""
     import dataclasses
-
     import os
 
-    path = "/root/reference/resources/scenes/cup.obj"
+    path = f"/root/reference/resources/scenes/{name}.obj"
     if not os.path.exists(path):
-        pytest.skip("reference cup assets absent")
+        pytest.skip(f"reference {name} assets absent")
 
     from complex_materials_renderer_tpu.config import RenderOptions
     from complex_materials_renderer_tpu.renderer import Renderer
     from complex_materials_renderer_tpu.scene import load_scene
 
-    res, spp = 12, 2
     kw = dict(
         width=res, height=res, num_samples=spp,
         shard="none", backend="bvh", rng="parity", tir="kill",
@@ -132,11 +120,38 @@ def test_cup_matches_glsl_oracle():
     diff = img_engine.astype(np.float64) - img_oracle
     rmse = float(np.sqrt(np.mean(diff**2)))
     worst = float(np.max(np.abs(diff)))
-    assert rmse <= 1e-3, f"cup RMSE {rmse} vs GLSL oracle exceeds 1e-3"
+    assert rmse <= 1e-3, f"{name} RMSE {rmse} vs GLSL oracle exceeds 1e-3"
     assert worst <= 1e-2, (
-        f"cup pixel diff {worst} vs GLSL oracle exceeds 1e-2 (pixel "
+        f"{name} pixel diff {worst} vs GLSL oracle exceeds 1e-2 (pixel "
         f"{np.unravel_index(np.argmax(np.abs(diff).max(-1)), (res, res))})"
     )
+
+
+@pytest.mark.slow
+def test_cup_matches_glsl_oracle():
+    """The reference's own flagship dense-media scene (cup.obj: presso
+    coffee + glass, 20,624 tris) vs the independent GLSL transcription.
+
+    The fixture-scene gate above exercises every code path, but cup is
+    the workload the reference is NAMED for — deep multiple scattering in
+    a high-extinction medium behind nested refractive shells — and the
+    scene where a common-mode misreading of volpath's medium handling
+    (sigma scaling, boundary stacking, NEE through two shells) would
+    actually show. 12x12@2 keeps the scalar oracle's brute-force
+    closest-hit (20.6k tris/query in numpy) inside the slow lane's
+    budget."""
+    _reference_scene_oracle_gate("cup", 12, 2)
+
+
+@pytest.mark.slow
+def test_gem_corner_matches_glsl_oracle():
+    """gem_corner (4 gem media, 1,587 tris): the TIR/Fresnel-heavy
+    regime — with tir='kill' every total-internal-reflection draw kills
+    the path exactly where the reference's IEEE NaN behavior does, so
+    Fresnel probabilities, IOR pairing, and the RNG stream alignment
+    through boundary events are all pinned against the independent
+    transcription."""
+    _reference_scene_oracle_gate("gem_corner", 16, 2)
 
 
 @pytest.mark.slow
