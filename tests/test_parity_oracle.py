@@ -155,6 +155,17 @@ def test_gem_corner_matches_glsl_oracle():
 
 
 @pytest.mark.slow
+def test_stanford_dragon_matches_glsl_oracle():
+    """stanford_dragon (milk on matID 1, 19,410 tris): the high-albedo
+    deep-scattering regime — long multiple-scatter chains inside one
+    medium, exercising the sampleWeight clamp (volpath:503), russian
+    roulette after depth 16, and HG sampling with milk's anisotropy
+    against the independent transcription. 10x10@1 keeps the brute-force
+    oracle fast."""
+    _reference_scene_oracle_gate("stanford_dragon", 10, 1)
+
+
+@pytest.mark.slow
 def test_oracle_surface_only_scene():
     """Surface-only path (no media): diffuse + NEE + RR transcription
     agrees without the volumetric terms in play."""
