@@ -53,13 +53,18 @@ class ClusterGrid(NamedTuple):
     # boundary collection over the media range only.
     num_opaque_clusters: int = 0
     num_opaque_supers: int = 0
+    # Clusters per super (second culling level). Parameterized so the
+    # hierarchy fan-out can ride cluster-width sweeps: at cluster_size 32
+    # a fixed fan-out of 16 quadruples the super count (and the linear
+    # walk's per-super slab gates) versus width 128.
+    super_factor: int = 16
 
     @property
     def num_clusters(self) -> int:
         return self.bounds.shape[0]
 
 
-SUPER_FACTOR = 16  # clusters per super-cluster (second culling level)
+SUPER_FACTOR = 16  # default clusters per super-cluster
 SUB_SIZE = 16  # triangles per sub-group (third, in-cluster culling level)
 
 
@@ -142,6 +147,7 @@ def build_clusters(
     cluster_size: int = CLUSTER_SIZE,
     split_frac: float = 0.0,
     media_mats=None,
+    super_factor: int = SUPER_FACTOR,
 ) -> ClusterGrid:
     """Build a ClusterGrid over ``triangles`` of shape (T, 3, 3).
 
@@ -200,7 +206,7 @@ def build_clusters(
         if partitioned and gi == 0:
             # Pad the opaque range to a whole number of super-clusters so
             # the media range starts on a super boundary.
-            cg = -(-cg // SUPER_FACTOR) * SUPER_FACTOR
+            cg = -(-cg // super_factor) * super_factor
         stream = np.full(cg * cluster_size, -1, np.int32)
         stream[: len(ids)] = ids
         streams.append(stream)
@@ -210,7 +216,7 @@ def build_clusters(
     slots = num_clusters * cluster_size
     num_opaque_clusters = cluster_counts[0] if partitioned else 0
     num_opaque_supers = (
-        num_opaque_clusters // SUPER_FACTOR if partitioned else 0
+        num_opaque_clusters // super_factor if partitioned else 0
     )
 
     valid = slot_ids >= 0
@@ -244,12 +250,12 @@ def build_clusters(
     # (Morton-adjacent, hence spatially tight) clusters. Empty member
     # clusters are excluded so their far-box sentinel doesn't inflate the
     # super's AABB to [real_lo, 1e30].
-    num_supers = -(-num_clusters // SUPER_FACTOR)
+    num_supers = -(-num_clusters // super_factor)
     super_bounds = np.zeros((num_supers, 8), np.float32)
     super_bounds[:, 0:6] = np.float32(1e30)
     for s in range(num_supers):
-        grp = bounds[s * SUPER_FACTOR : (s + 1) * SUPER_FACTOR]
-        live = ~cluster_empty[s * SUPER_FACTOR : (s + 1) * SUPER_FACTOR]
+        grp = bounds[s * super_factor : (s + 1) * super_factor]
+        live = ~cluster_empty[s * super_factor : (s + 1) * super_factor]
         if not np.any(live):
             continue
         super_bounds[s, 0:3] = grp[live, 0:3].min(axis=0)
@@ -275,4 +281,5 @@ def build_clusters(
         mat_id=mats.reshape(num_clusters, cluster_size),
         num_opaque_clusters=num_opaque_clusters,
         num_opaque_supers=num_opaque_supers,
+        super_factor=super_factor,
     )

@@ -45,6 +45,7 @@ class RenderOptions:
     shard: str = "auto"  # auto | none — tile-shard over available devices
     leaf_size: int = 4  # BVH max triangles per leaf
     cluster_size: int = 128  # Pallas tracer cluster width (lane vector)
+    super_factor: int = 0  # clusters per super-cluster; 0 = auto (16)
     partition: str = "off"  # off | media — opaque/media cluster segregation
     checkpoint: str = ""  # optional .npz accumulate-buffer checkpoint path
     profile: str = ""  # optional dir for a jax.profiler trace of the render
@@ -75,6 +76,7 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--nee-bound\tMax media crossings along shadow rays (default: 4)
 \t--sample-chunk\tSamples per bounded device pass (default: 0 = auto)
 \t--cluster-size\tPallas tracer cluster width in triangles (default: 128)
+\t--super-factor\tClusters per super-cluster culling group (default: auto)
 \t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present;
 \t\trejects a checkpoint written with different settings, including -s,
 \t\tsince the buffer is pre-scaled by samples/num_samples)
@@ -162,6 +164,10 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
             v, i = take_value(i)
             if v is not None:
                 opt.cluster_size = int(v)
+        elif a == "--super-factor":
+            v, i = take_value(i)
+            if v is not None:
+                opt.super_factor = int(v)
         elif a == "--partition":
             v, i = take_value(i)
             if v is not None:

@@ -51,7 +51,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel.clusters import SUPER_FACTOR
 from .cluster_test import (
     make_cluster_tester,
     nee_state_size,
@@ -85,7 +84,7 @@ def _state_dtypes(payload: str, K_NEE: int):
     return [jnp.float32] * _n_state(payload, K_NEE)
 
 
-def _make_listing_kernel(C, S, num_blocks, t_min, L):
+def _make_listing_kernel(C, S, num_blocks, t_min, L, SUPER_FACTOR=16):
     """Per-lane candidate-cluster listing. For every lane, the L smallest
     packed keys (entry bits | cluster id) with key > per-lane t_lo,
     among clusters whose AABB intersects [t_min, bound]."""
@@ -443,7 +442,8 @@ def trace_binned(
     f32s = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.float32)
     i32s = jax.ShapeDtypeStruct((blocks * 8, 128), jnp.int32)
 
-    listing_kernel = _make_listing_kernel(C, S, blocks, _T_MIN, L)
+    listing_kernel = _make_listing_kernel(C, S, blocks, _T_MIN, L,
+                                          grid.super_factor)
     round_kernel = _make_round_kernel(
         payload, C, blocks, subs, run, K_NEE, M, _T_MIN, L, cap_iters
     )

@@ -320,6 +320,7 @@ def _make_kernel(
     max_iters: int,
     S_OPQ: int = 0,
     debug: str = "",
+    SF: int = SUPER_FACTOR,
 ):
     """Build the megakernel body. All sizes static.
 
@@ -540,7 +541,7 @@ def _make_kernel(
                 return tc(c, rays, state)
 
             def visit_super(sp, state):
-                lo = sp * SUPER_FACTOR
+                lo = sp * SF
 
                 def c_entry(k, entries):
                     c = lo + k
@@ -551,7 +552,7 @@ def _make_kernel(
                     return jnp.where(flat_iota == k, e, entries)
 
                 centries = jax.lax.fori_loop(
-                    0, SUPER_FACTOR, c_entry, jnp.full((8, 128), _INF)
+                    0, SF, c_entry, jnp.full((8, 128), _INF)
                 )
 
                 def ccond(carry):
@@ -633,8 +634,8 @@ def _make_kernel(
                     return carry
 
                 def super_lin(sp, carry):
-                    lo = sp * SUPER_FACTOR
-                    hi = jnp.minimum(lo + SUPER_FACTOR, C)
+                    lo = sp * SF
+                    hi = jnp.minimum(lo + SF, C)
                     e = entry_min(sb_ref, sp)
 
                     @pl.when(e < _INF)
@@ -658,8 +659,8 @@ def _make_kernel(
                     )
 
                 def super_lin(sp, st):
-                    lo = sp * SUPER_FACTOR
-                    hi = jnp.minimum(lo + SUPER_FACTOR, C)
+                    lo = sp * SF
+                    hi = jnp.minimum(lo + SF, C)
                     e = slab_entry_min(sb_ref, sp, OX, OY, OZ, IX, IY, IZ,
                                        bound_of(st))
                     return jax.lax.cond(
@@ -1347,6 +1348,7 @@ def trace_paths_mega(
         nee_max_media, tir_kill, 1e-4, 1e4, max_iters,
         S_OPQ=grid.num_opaque_supers,
         debug=debug,
+        SF=grid.super_factor,
     )
     smem = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape), memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -49,7 +49,7 @@ BLOCK_RAYS = 1024  # 8 sublanes x 128 lanes
     ],
     meta_fields=[
         "num_clusters", "num_supers", "num_opaque_supers",
-        "runs_per_cluster", "run_size", "interpret",
+        "runs_per_cluster", "run_size", "super_factor", "interpret",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +80,7 @@ class DeviceClusterGrid:
     num_opaque_supers: int  # supers [0, this) hold only opaque triangles
     runs_per_cluster: int
     run_size: int
+    super_factor: int  # clusters per super (accel/clusters.py)
     interpret: bool  # run the kernel interpreted (CPU tests)
 
 
@@ -145,12 +146,14 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         num_opaque_supers=int(getattr(grid, "num_opaque_supers", 0)),
         runs_per_cluster=subs,
         run_size=run,
+        super_factor=int(getattr(grid, "super_factor", 16)),
         interpret=bool(interpret),
     )
 
 
-def _trace_kernel(num_clusters: int, num_supers: int, width: int, t_min: float):
-    from ..accel.clusters import SUPER_FACTOR
+def _trace_kernel(num_clusters: int, num_supers: int, width: int,
+                  t_min: float, super_factor: int = 16):
+    SUPER_FACTOR = super_factor
 
     def kernel(
         cb_ref,  # SMEM (C, 8)
@@ -403,7 +406,7 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
 
     s_count = grid.num_supers
     outs = pl.pallas_call(
-        _trace_kernel(c, s_count, width, t_min),
+        _trace_kernel(c, s_count, width, t_min, grid.super_factor),
         grid=(blocks,),
         in_specs=[
             pl.BlockSpec((c, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),

@@ -106,6 +106,8 @@ class Renderer:
                         and scene.media is not None
                         else None
                     ),
+                    # 0 = auto: the measured default fan-out (16).
+                    super_factor=self.options.super_factor or 16,
                 )
                 build_fn = lambda: device_cluster_grid(self._host_accel)
             else:

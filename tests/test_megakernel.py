@@ -101,6 +101,34 @@ def test_mega_cluster_width_invariant():
     np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-5)
 
 
+def test_mega_super_factor_invariant():
+    """The image must not depend on the super-cluster fan-out: supers are
+    pure culling groups, so regrouping clusters under different fan-outs
+    (including degenerate 1- and whole-scene groups) renders the same
+    frame. Guards the hierarchy-shape sweeps that ride cluster-width
+    experiments (at width 32 a fixed fan-out of 16 quadruples the super
+    count; scaling the fan-out keeps the linear walk's super-gate count
+    flat)."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1)
+    imgs = []
+    for sf in (1, 4, 16):
+        grid = device_cluster_grid(
+            build_clusters(tris, mats, cluster_size=8, super_factor=sf)
+        )
+        imgs.append(
+            np.asarray(
+                render_beauty_mega(
+                    fixture_camera(), scene, grid, fixture_lights(),
+                    (8, 8), 1, **kw
+                )
+            )
+        )
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
+    np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-5)
+
+
 @pytest.mark.slow
 def test_mega_skipped_blocks_pass_through():
     """Blocks beyond ``live_blocks`` must pass their state through

@@ -41,6 +41,8 @@ def main() -> None:
     ap.add_argument("--sched", default="1:1,4:1,16:2,64:32",
                     help="CMR_MEGA_SCHED ('' keeps the engine default)")
     ap.add_argument("--width", type=int, default=128, help="cluster size")
+    ap.add_argument("--super", type=int, default=0, dest="super_factor",
+                    help="clusters per super-cluster (0 = auto)")
     ap.add_argument("--partition", default="off", choices=["off", "media"])
     ap.add_argument("--engine", default="mega")
     ap.add_argument("--rng", default="counter")
@@ -65,6 +67,7 @@ def main() -> None:
     opt.width = opt.height = args.res
     opt.num_samples = args.spp
     opt.cluster_size = args.width
+    opt.super_factor = args.super_factor
     opt.partition = args.partition
     opt.rng = args.rng
     opt.shard = "none"
@@ -80,6 +83,7 @@ def main() -> None:
     print(
         f"{os.path.basename(opt.obj_path)} {args.res}@{args.spp} "
         f"debug='{args.debug}' part={args.partition} w={args.width} "
+        f"sf={args.super_factor} "
         f"engine={args.engine}: {mp:.3f} Mpaths/s mean={img.mean():.5f}",
         flush=True,
     )
