@@ -29,7 +29,7 @@ from tools.study_blocksize import mega_key  # noqa: E402
 from complex_materials_renderer_tpu.accel.clusters import build_clusters  # noqa: E402
 
 BLOCK = 1024
-WIDTHS = (32, 64, 128, 256)
+WIDTHS = (16, 32, 64, 128, 256)
 TRI = 40.0      # cycles per unrolled triangle (sep-walk scale)
 FIXED = 150.0   # per-visit fixed: state ref round-trip + loop overhead
 GATES = (60.0, 120.0)  # per-tested-cluster slab + reduce + branch
