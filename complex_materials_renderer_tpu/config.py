@@ -44,7 +44,10 @@ class RenderOptions:
     sample_chunk: int = 0  # samples per device pass; 0 = auto
     shard: str = "auto"  # auto | none — tile-shard over available devices
     leaf_size: int = 4  # BVH max triangles per leaf
-    cluster_size: int = 128  # Pallas tracer cluster width (lane vector)
+    cluster_size: int = 0  # Pallas tracer cluster width; 0 = auto (128,
+    # shrunk to 16*ceil(T/16) for scenes that fit in one cluster: the
+    # kernel statically unrolls the FULL width, so a tiny scene would
+    # pay 128 triangle tests per visit for a handful of real triangles)
     super_factor: int = 0  # clusters per super-cluster; 0 = auto (16)
     partition: str = "off"  # off | media — opaque/media cluster segregation
     checkpoint: str = ""  # optional .npz accumulate-buffer checkpoint path
@@ -75,7 +78,8 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--shard\tauto (tile-shard across devices) or none
 \t--nee-bound\tMax media crossings along shadow rays (default: 4)
 \t--sample-chunk\tSamples per bounded device pass (default: 0 = auto)
-\t--cluster-size\tPallas tracer cluster width in triangles (default: 128)
+\t--cluster-size\tPallas tracer cluster width in triangles (default:
+\t\t0 = auto: 128, shrunk for scenes that fit in one cluster)
 \t--super-factor\tClusters per super-cluster culling group (default: auto)
 \t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present;
 \t\trejects a checkpoint written with different settings, including -s,

@@ -86,9 +86,27 @@ class Renderer:
                 from .accel.clusters import build_clusters
                 from .kernels.pallas_trace import device_cluster_grid
 
+                # cluster_size 0 = auto: width 128, shrunk down the
+                # {16,32,64} ladder for scenes that fit in ONE cluster.
+                # The kernel statically unrolls the FULL width (pad
+                # triangles fail their Moller-Trumbore NaN compares but
+                # still cost the arithmetic), so a tiny scene at width
+                # 128 pays ~9x the triangle tests it needs per visit
+                # (host model tools/study_widthsf.py: isobox, 14 real
+                # tris, models 3-5x faster at width 16). Shape-visible
+                # to the jit cache; images are width-invariant
+                # (tests/test_megakernel.py::test_mega_cluster_width_invariant).
+                width = self.options.cluster_size
+                if width == 0:
+                    width = 128
+                    ntris = int(scene.triangles.shape[0])
+                    if ntris <= 128:
+                        width = 16
+                        while width < ntris:
+                            width *= 2
                 self._host_accel = build_clusters(
                     scene.triangles, scene.mat_ids,
-                    cluster_size=self.options.cluster_size,
+                    cluster_size=width,
                     # Oversized-triangle bisection (split_frac) measured
                     # SLOWER on the bench scenes (0.81 vs 1.07 Mpaths/s on
                     # showcase): the extra clusters cost more visits than

@@ -129,3 +129,26 @@ def test_checkpoint_rejects_mismatched_options(showcase_scene, tmp_path, monkeyp
     opt2 = dataclasses.replace(opt, num_samples=8)
     with pytest.raises(ValueError, match="fingerprint"):
         Renderer(showcase_scene, opt2).render(checkpoint_path=ckpt)
+
+
+def test_auto_cluster_width():
+    """cluster_size 0 = auto: a scene that fits in ONE cluster shrinks
+    the statically-unrolled width down the {16,32,64} ladder (the kernel
+    pays the FULL width in triangle tests per visit, pad slots included
+    — a 14-triangle scene at width 128 does ~9x the arithmetic it
+    needs; host model tools/study_widthsf.py says 3-5x end-to-end on
+    isobox), while anything larger keeps the measured default 128."""
+    iso_path = os.path.join(os.path.dirname(SHOWCASE), "isobox.obj")
+    if not os.path.exists(iso_path):
+        pytest.skip("isobox scene not generated")
+    opt = _options(backend="cluster")
+    opt.cluster_size = 0
+    opt.obj_path = iso_path
+    iso = load_scene(iso_path, opt)
+    r = Renderer(iso, iso.options)
+    assert r._host_accel.mat_id.shape[1] == 16  # 14 tris -> width 16
+
+    opt2 = _options(backend="cluster")
+    opt2.cluster_size = 0
+    sc = load_scene(SHOWCASE, opt2)
+    assert Renderer(sc, sc.options)._host_accel.mat_id.shape[1] == 128
