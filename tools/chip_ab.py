@@ -46,6 +46,8 @@ def main() -> None:
     ap.add_argument("--partition", default="off", choices=["off", "media"])
     ap.add_argument("--engine", default="mega")
     ap.add_argument("--rng", default="counter")
+    ap.add_argument("--nee-bound", type=int, default=0, dest="nee_bound",
+                    help="max media crossings on shadow rays (0 = default)")
     ap.add_argument("--save", default="", help="optional .npy for the image")
     args = ap.parse_args()
 
@@ -72,6 +74,8 @@ def main() -> None:
     opt.rng = args.rng
     opt.shard = "none"
     opt.engine = args.engine
+    if args.nee_bound:
+        opt.nee_max_media = args.nee_bound
 
     scene = load_scene(opt.obj_path, opt)
     r = Renderer(scene, scene.options)
