@@ -998,12 +998,24 @@ def _make_kernel(
                 # are paid once for both, and the walk visits the UNION
                 # of the two footprints instead of their sum. NEE
                 # activity must be decided BEFORE the scatter draw, so
-                # set B uses the superset transmitted | shade: pass-
-                # through lanes compute li_* that the scatter gates below
+                # set B uses a superset of the scatter lanes: scatter
+                # requires succ = cand < seg_len <= t_max (see
+                # _sample_distance), so a transmitted lane with
+                # cand >= t_max can NEVER scatter and its li_* would be
+                # discarded below — exclude it pre-walk. This matters
+                # enormously for zero-extinction (glass-like) media,
+                # whose declined free-flight draw returns the 500000
+                # NO_INTERACTION sentinel (volpath:513): without the
+                # test every glass pass-through lane drags its light
+                # path into the walk's set-B footprint (measured -45%
+                # on vessel, where paths cross the vessel wall
+                # repeatedly). Included lanes that end up not
+                # scattering compute li_* that the scatter gates below
                 # discard — they draw no RNG and alter no state, so
                 # images are bit-identical to the separate walks.
+                may_scatter = transmitted & (cand < t_max_f)
                 (ldx, ldy, ldz, ldist, eff_b, lv_r, lv_g, lv_b) = nee_setup(
-                    px, py, pz, transmitted | shade
+                    px, py, pz, may_scatter | shade
                 )
                 bound = jnp.minimum(cand * 1.00001 + 10.0 * t_min, t_max_f)
                 dn = traverse(
@@ -1049,7 +1061,7 @@ def _make_kernel(
             elif fused:
                 li_r, li_g, li_b = nee_resolve(
                     dn[2:2 + K_NEE], dn[2 + K_NEE], eff_b, ldist,
-                    lv_r, lv_g, lv_b, transmitted | shade,
+                    lv_r, lv_g, lv_b, may_scatter | shade,
                 )
             else:
                 li_r, li_g, li_b = nee_march(px, py, pz, scatter | shade)
