@@ -16,8 +16,16 @@ import time
 import numpy as np
 
 
+SHORTHANDS = {
+    "cup": "/root/reference/resources/scenes/cup.obj",
+    "gem_corner": "/root/reference/resources/scenes/gem_corner.obj",
+    "stanford_dragon": "/root/reference/resources/scenes/stanford_dragon.obj",
+}
+
+
 def main() -> None:
     scene_path = sys.argv[1] if len(sys.argv) > 1 else "scenes/showcase.obj"
+    scene_path = SHORTHANDS.get(scene_path, scene_path)
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 
     import jax
