@@ -49,7 +49,7 @@ class RenderOptions:
     # kernel statically unrolls the FULL width, so a tiny scene would
     # pay 128 triangle tests per visit for a handful of real triangles)
     super_factor: int = 0  # clusters per super-cluster; 0 = auto (16)
-    partition: str = "off"  # off | media — opaque/media cluster segregation
+    partition: str = "auto"  # auto | off | media — opaque/media cluster segregation
     checkpoint: str = ""  # optional .npz accumulate-buffer checkpoint path
     profile: str = ""  # optional dir for a jax.profiler trace of the render
 
@@ -81,6 +81,8 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--cluster-size\tPallas tracer cluster width in triangles (default:
 \t\t0 = auto: 128, shrunk for scenes that fit in one cluster)
 \t--super-factor\tClusters per super-cluster culling group (default: auto)
+\t--partition\tOpaque/media cluster segregation: auto (default: on for
+\t\t>128-cluster media scenes) | off | media
 \t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present;
 \t\trejects a checkpoint written with different settings, including -s,
 \t\tsince the buffer is pre-scaled by samples/num_samples)

@@ -54,6 +54,27 @@ def _mega_env_knobs() -> dict:
     )
 
 
+def resolve_partition(partition: str, num_tris: int, width: int,
+                      has_media: bool) -> bool:
+    """Resolve --partition {auto,off,media} to a bool (segregate or not).
+
+    'auto' enables opaque/media cluster segregation exactly when the
+    unpartitioned grid would exceed the dynamic-schedule threshold
+    (>128 clusters, render/megarender.py) AND the scene has media.
+    Chip A/Bs (round 3h): on >128-cluster dense-media scenes the
+    partitioned fused walk wins (cup +4-6%, stanford_dragon +8%) because
+    the K-list sweep's media range excludes the opaque shell; on small
+    scenes it loses 10-13% (isobox/gembox) — the split spatial orderings
+    admit more main/dist visits than the range trim saves. Images are
+    partition-invariant (tests/test_megakernel.py::test_mega_partitioned_grid_matches).
+    """
+    if partition == "media":
+        return True
+    if partition == "off":
+        return False
+    return has_media and -(-num_tris // width) > 128
+
+
 def _auto_sample_chunk(width: int, height: int) -> int:
     lanes = min(LANES_PER_PASS, width * height)
     return max(1, PATHS_PER_PASS // lanes)
@@ -116,12 +137,17 @@ class Renderer:
                     # Opaque/media segregation lets the NEE sweep run
                     # its K-list collection over media clusters only and
                     # the fused dnee walk serve dist+occlusion+K-list in
-                    # one pass over the partitioned ranges
-                    # (--partition media; off measured best pre-fusion).
+                    # one pass over the partitioned ranges. Default
+                    # 'auto' (see resolve_partition for the A/B record).
                     media_mats=(
                         set(int(m) for m in scene.media.mat_id if int(m) >= 0)
-                        if self.options.partition == "media"
-                        and scene.media is not None
+                        if scene.media is not None
+                        and resolve_partition(
+                            self.options.partition,
+                            int(scene.triangles.shape[0]),
+                            width,
+                            any(int(m) >= 0 for m in scene.media.mat_id),
+                        )
                         else None
                     ),
                     # 0 = auto: the measured default fan-out (16).

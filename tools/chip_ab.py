@@ -43,7 +43,8 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=128, help="cluster size")
     ap.add_argument("--super", type=int, default=0, dest="super_factor",
                     help="clusters per super-cluster (0 = auto)")
-    ap.add_argument("--partition", default="off", choices=["off", "media"])
+    ap.add_argument("--partition", default="off",
+                    choices=["auto", "off", "media"])
     ap.add_argument("--engine", default="mega")
     ap.add_argument("--rng", default="counter")
     ap.add_argument("--nee-bound", type=int, default=0, dest="nee_bound",
