@@ -50,6 +50,7 @@ class RenderOptions:
     # pay 128 triangle tests per visit for a handful of real triangles)
     super_factor: int = 0  # clusters per super-cluster; 0 = auto (16)
     partition: str = "auto"  # auto | off | media — opaque/media cluster segregation
+    quads: str = "auto"  # auto (merge coplanar tri pairs into quad slots) | off
     checkpoint: str = ""  # optional .npz accumulate-buffer checkpoint path
     profile: str = ""  # optional dir for a jax.profiler trace of the render
 
@@ -83,6 +84,7 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--super-factor\tClusters per super-cluster culling group (default: auto)
 \t--partition\tOpaque/media cluster segregation: auto (default: on for
 \t\t>128-cluster media scenes) | off | media
+\t--quads\tMerge coplanar triangle pairs into quad slots: auto (default) | off
 \t--checkpoint\tAccumulate-buffer checkpoint path (resumes if present;
 \t\trejects a checkpoint written with different settings, including -s,
 \t\tsince the buffer is pre-scaled by samples/num_samples)
@@ -177,7 +179,20 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
         elif a == "--partition":
             v, i = take_value(i)
             if v is not None:
+                # Validate here: resolve_partition treats any unknown
+                # string as 'auto', so a typo would silently enable auto
+                # segregation (advisor finding, round 3).
+                if v not in ("auto", "off", "media"):
+                    raise ValueError(
+                        f"--partition must be auto|off|media, got {v!r}"
+                    )
                 opt.partition = v
+        elif a == "--quads":
+            v, i = take_value(i)
+            if v is not None:
+                if v not in ("auto", "off"):
+                    raise ValueError(f"--quads must be auto|off, got {v!r}")
+                opt.quads = v
         elif a == "--shard":
             v, i = take_value(i)
             if v is not None:

@@ -29,6 +29,14 @@ _REF = "/root/reference/resources/scenes"
 # name -> (obj path, spp). 64x64, parity RNG, bvh backend, CPU.
 GOLDEN_CONFIGS = {
     "showcase": ("scenes/showcase.obj", 4),
+    # The bench's TPU-vs-golden acceptance gate. 32 spp instead of 4: a
+    # cross-backend knife-edge decision flip (a hit or Fresnel draw
+    # resolving differently on the CPU-bvh golden path vs the TPU mega
+    # engine) perturbs ONE sample of the pixel's average, so at 32 spp
+    # its RMSE contribution shrinks ~8x versus 4 spp — the r3 gate
+    # failed at 1.8e-3 purely from 2/4096 flip pixels by measurement
+    # design (round-3 verdict #2).
+    "showcase_gate": ("scenes/showcase.obj", 32),
     "isobox": ("scenes/isobox.obj", 2),
     "gembox": ("scenes/gembox.obj", 2),
     "vessel": ("scenes/vessel.obj", 2),

@@ -16,11 +16,17 @@ import time
 import numpy as np
 
 
+# Reference-scene shorthands resolve against CMR_REF_SCENES (defaulting
+# to the conventional reference checkout); a shorthand whose target is
+# missing falls through as a literal path argument.
+_REF_DIR = os.environ.get(
+    "CMR_REF_SCENES", "/root/reference/resources/scenes"
+)
 SHORTHANDS = {
-    "cup": "/root/reference/resources/scenes/cup.obj",
-    "gem_corner": "/root/reference/resources/scenes/gem_corner.obj",
-    "stanford_dragon": "/root/reference/resources/scenes/stanford_dragon.obj",
+    name: os.path.join(_REF_DIR, f"{name}.obj")
+    for name in ("cup", "gem_corner", "stanford_dragon")
 }
+SHORTHANDS = {k: v for k, v in SHORTHANDS.items() if os.path.exists(v)}
 
 
 def main() -> None:
