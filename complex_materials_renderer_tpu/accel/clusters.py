@@ -29,10 +29,20 @@ CLUSTER_SIZE = 128  # one lane vector of triangles (default; tests use less)
 
 
 class ClusterGrid(NamedTuple):
-    # (C, 128) per-component triangle data, cluster-major, zero-padded
+    # (C, 128) per-component PRIMITIVE data, cluster-major, zero-padded
     # (degenerate zero triangles never intersect: det == 0). Edges are
     # precomputed (e1 = v1-v0, e2 = v2-v0) — Moller-Trumbore consumes
     # edges directly, saving six subtractions per triangle test.
+    #
+    # A slot holds either one triangle or one PLANAR CONVEX QUAD (two
+    # coplanar shared-edge triangles merged by pair_quads): the MT basis
+    # (v0, e1, e2) spans the quad's plane and the per-slot (qa, qb)
+    # coefficients encode the far corner v3 = v0 + qa*e1 + qb*e2, so the
+    # hit test's barycentric acceptance region generalizes from
+    # {u+v<=1} to the quad's two far edges (a triangle is qa=qb=0.5).
+    # One slot then covers two triangles for +2 scalar extracts and ~4
+    # vector ops — a near-2x slot-count cut on quad-tessellated meshes
+    # (cup 92%, vessel 85%, gem_corner 81% pairable; tools/study_quads).
     v0x: np.ndarray
     v0y: np.ndarray
     v0z: np.ndarray
@@ -58,6 +68,10 @@ class ClusterGrid(NamedTuple):
     # a fixed fan-out of 16 quadruples the super count (and the linear
     # walk's per-super slab gates) versus width 128.
     super_factor: int = 16
+    # (C, 128) quad far-corner coefficients (see class docstring); None
+    # means every slot is a triangle (device_cluster_grid fills 0.5).
+    qa: np.ndarray | None = None
+    qb: np.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:
@@ -141,6 +155,131 @@ def _split_oversized(
     return np.asarray(out_t, np.float32), np.asarray(out_i, np.int32)
 
 
+def pair_quads(
+    tris: np.ndarray,
+    mats: np.ndarray,
+    rel_tol: float = 1e-5,
+):
+    """Merge coplanar shared-edge triangle pairs into planar convex quads.
+
+    Returns ``(prims, ab, pmats, ptri, centroids)`` where ``prims`` is
+    (P, 4, 3) — corners [v0, v1, v2, far] with the MT basis v0/e1=v1-v0/
+    e2=v2-v0 — ``ab`` is (P, 2) far-corner coefficients (far = v0 +
+    a*e1 + b*e2; triangles carry (0.5, 0.5) and duplicate v0 as ``far``),
+    ``pmats``/``ptri`` the per-primitive material / primary original
+    triangle id, and ``centroids`` the true primitive centroids.
+
+    A pair merges only when: the edge is shared by exactly two same-
+    material triangles, the opposite vertex lies in the first triangle's
+    plane within ``rel_tol`` * scene extent, the quad is convex
+    (a, b > 0, a + b > 1), and the windings are consistent. The merged
+    quad's acceptance region is EXACTLY the union of the two triangles
+    (planar within tolerance), its plane/normal is the first triangle's,
+    and unpaired triangles keep their original vertex order so their MT
+    arithmetic is bit-identical to an unpaired build.
+    """
+    n = len(tris)
+    tris = np.asarray(tris, np.float32)
+    mats = np.asarray(mats, np.int32)
+
+    # --- candidate edges: (3n, ...) with a canonical endpoint order ---
+    va = tris  # (n, 3, 3): edge k runs v[k] -> v[(k+1)%3]
+    ea = va.reshape(-1, 3)  # 3n edge starts in (tri, k) order
+    eb = np.roll(va, -1, axis=1).reshape(-1, 3)
+    swap = (
+        (ea[:, 0] > eb[:, 0])
+        | ((ea[:, 0] == eb[:, 0]) & (ea[:, 1] > eb[:, 1]))
+        | ((ea[:, 0] == eb[:, 0]) & (ea[:, 1] == eb[:, 1])
+           & (ea[:, 2] > eb[:, 2]))
+    )
+    lo = np.where(swap[:, None], eb, ea)
+    hi = np.where(swap[:, None], ea, eb)
+    keys = np.concatenate([lo, hi], axis=1)  # (3n, 6)
+    tri_of = np.repeat(np.arange(n, dtype=np.int32), 3)
+    opp_of = np.tile(np.array([2, 0, 1], np.int32), n)  # vertex not on edge k
+
+    _, inv, counts = np.unique(
+        keys, axis=0, return_inverse=True, return_counts=True
+    )
+    shared = counts[inv] == 2  # edge rows belonging to 2-triangle edges
+    order = np.argsort(inv[shared], kind="stable")
+    rows = np.nonzero(shared)[0][order]  # paired rows adjacent
+    r_i, r_j = rows[0::2], rows[1::2]
+    ti, tj = tri_of[r_i], tri_of[r_j]
+    oi, oj = opp_of[r_i], opp_of[r_j]
+
+    ok = (ti != tj) & (mats[ti] == mats[tj])
+    ti, tj, oi, oj = ti[ok], tj[ok], oi[ok], oj[ok]
+
+    # --- quad basis at tri i's opposite vertex (winding-preserving
+    # cyclic order: A = ti[oi], then the shared edge endpoints) ---
+    idx = np.arange(len(ti))
+    A = tris[ti, oi]
+    p = tris[ti, (oi + 1) % 3]
+    q = tris[ti, (oi + 2) % 3]
+    w = tris[tj, oj] - A  # far corner relative to A
+    e1 = p - A
+    e2 = q - A
+
+    # least-squares (a, b) with w = a*e1 + b*e2 via 2x2 normal equations
+    g11 = np.einsum("ij,ij->i", e1, e1)
+    g12 = np.einsum("ij,ij->i", e1, e2)
+    g22 = np.einsum("ij,ij->i", e2, e2)
+    b1 = np.einsum("ij,ij->i", e1, w)
+    b2 = np.einsum("ij,ij->i", e2, w)
+    det = g11 * g22 - g12 * g12
+    safe = np.abs(det) > 1e-30
+    inv_det = np.where(safe, 1.0 / np.where(safe, det, 1.0), 0.0)
+    a = (g22 * b1 - g12 * b2) * inv_det
+    b = (g11 * b2 - g12 * b1) * inv_det
+
+    extent = float(np.max(tris.max(axis=(0, 1)) - tris.min(axis=(0, 1))))
+    tol = rel_tol * max(extent, 1e-20)
+    resid = w - a[:, None] * e1 - b[:, None] * e2
+    planar = np.einsum("ij,ij->i", resid, resid) <= tol * tol
+
+    nq = np.cross(e1, e2)
+    nj = np.cross(tris[tj, 1] - tris[tj, 0], tris[tj, 2] - tris[tj, 0])
+    consistent = np.einsum("ij,ij->i", nq, nj) > 0.0
+
+    good = (
+        safe & planar & consistent
+        & (a > 1e-6) & (b > 1e-6) & (a + b > 1.0 + 1e-6)
+    )
+
+    # --- greedy matching (a triangle joins at most one pair) ---
+    used = np.zeros(n, bool)
+    take = np.zeros(len(ti), bool)
+    for k in np.nonzero(good)[0]:
+        if used[ti[k]] or used[tj[k]]:
+            continue
+        used[ti[k]] = used[tj[k]] = True
+        take[k] = True
+    idx = np.nonzero(take)[0]
+
+    # --- emit primitives: quads first, then leftover triangles ---
+    far = A[idx] + a[idx, None] * e1[idx] + b[idx, None] * e2[idx]
+    quad_v = np.stack([A[idx], p[idx], q[idx], far], axis=1)
+    quad_ab = np.stack([a[idx], b[idx]], axis=1).astype(np.float32)
+    quad_mat = mats[ti[idx]]
+    quad_tri = ti[idx]
+    quad_cent = (A[idx] + p[idx] + q[idx] + tris[tj[idx], oj[idx]]) / 4.0
+
+    rest = np.nonzero(~used)[0].astype(np.int32)
+    tri_v = np.concatenate(
+        [tris[rest], tris[rest, :1]], axis=1
+    )  # 4th corner = v0 duplicate (AABB-neutral)
+    tri_ab = np.full((len(rest), 2), 0.5, np.float32)
+    tri_cent = tris[rest].mean(axis=1)
+
+    prims = np.concatenate([quad_v, tri_v]).astype(np.float32)
+    ab = np.concatenate([quad_ab, tri_ab])
+    pmats = np.concatenate([quad_mat, mats[rest]]).astype(np.int32)
+    ptri = np.concatenate([quad_tri, rest]).astype(np.int32)
+    cents = np.concatenate([quad_cent, tri_cent]).astype(np.float32)
+    return prims, ab, pmats, ptri, cents
+
+
 def build_clusters(
     triangles: np.ndarray,
     mat_ids: np.ndarray | None = None,
@@ -148,6 +287,7 @@ def build_clusters(
     split_frac: float = 0.0,
     media_mats=None,
     super_factor: int = SUPER_FACTOR,
+    quads: bool = False,
 ) -> ClusterGrid:
     """Build a ClusterGrid over ``triangles`` of shape (T, 3, 3).
 
@@ -165,6 +305,11 @@ def build_clusters(
     grid: opaque-only clusters first (super-aligned), media-bearing ones
     after, so the NEE sweep can run a cheap occlusion walk over the
     opaque range and boundary collection over the media range only.
+
+    ``quads=True`` merges coplanar shared-edge triangle pairs into
+    planar-quad slots before clustering (see pair_quads / the ClusterGrid
+    docstring) — near-2x fewer slots on quad-tessellated meshes for the
+    same acceptance geometry.
     """
     tris = np.asarray(triangles, np.float32)
     num_tris = tris.shape[0]
@@ -176,22 +321,33 @@ def build_clusters(
         tris, orig_index = _split_oversized(tris, orig_index, split_frac, 4.0)
         num_tris = tris.shape[0]
 
-    centroids = tris.mean(axis=1)
     tri_mats = (
         np.asarray(mat_ids, np.int32)[orig_index]
         if mat_ids is not None
         else np.zeros(num_tris, np.int32)
     )
 
+    if quads:
+        prims, prim_ab, prim_mats, ptri, centroids = pair_quads(
+            tris, tri_mats
+        )
+    else:
+        prims = np.concatenate([tris, tris[:, :1]], axis=1)
+        prim_ab = np.full((num_tris, 2), 0.5, np.float32)
+        prim_mats = tri_mats
+        ptri = np.arange(num_tris, dtype=np.int32)
+        centroids = tris.mean(axis=1)
+    num_prims = prims.shape[0]
+
     media_list = sorted(set(int(m) for m in media_mats)) if media_mats else []
     if media_list:
-        is_med = np.isin(tri_mats, np.asarray(media_list, np.int32))
+        is_med = np.isin(prim_mats, np.asarray(media_list, np.int32))
         group_idx = [
             np.where(~is_med)[0].astype(np.int32),
             np.where(is_med)[0].astype(np.int32),
         ]
     else:
-        group_idx = [np.arange(num_tris, dtype=np.int32)]
+        group_idx = [np.arange(num_prims, dtype=np.int32)]
 
     partitioned = len(group_idx) == 2 and all(len(g) for g in group_idx)
     streams = []
@@ -221,13 +377,15 @@ def build_clusters(
 
     valid = slot_ids >= 0
     safe = np.maximum(slot_ids, 0)
-    tri_index = np.where(valid, orig_index[safe], -1).astype(np.int32)
-    mats = np.where(valid, tri_mats[safe], -1).astype(np.int32)
+    tri_index = np.where(valid, orig_index[ptri[safe]], -1).astype(np.int32)
+    mats = np.where(valid, prim_mats[safe], -1).astype(np.int32)
 
-    packed = np.zeros((slots, 3, 3), np.float32)
-    packed[valid] = tris[slot_ids[valid]]
+    packed = np.zeros((slots, 4, 3), np.float32)
+    packed[valid] = prims[slot_ids[valid]]
+    packed_ab = np.full((slots, 2), 0.5, np.float32)
+    packed_ab[valid] = prim_ab[slot_ids[valid]]
 
-    comp = packed.reshape(num_clusters, cluster_size, 3, 3)
+    comp = packed.reshape(num_clusters, cluster_size, 4, 3)
 
     # Empty pad clusters get a FAR-AWAY POINT box (lo = hi = 1e30): the
     # kernel's slab test then yields tn > TMAX for any ray. (An inverted
@@ -271,6 +429,7 @@ def build_clusters(
     def edge(vi, ci):
         return np.ascontiguousarray(comp[:, :, vi, ci] - comp[:, :, 0, ci])
 
+    ab2 = packed_ab.reshape(num_clusters, cluster_size, 2)
     return ClusterGrid(
         v0x=field(0, 0), v0y=field(0, 1), v0z=field(0, 2),
         e1x=edge(1, 0), e1y=edge(1, 1), e1z=edge(1, 2),
@@ -282,4 +441,6 @@ def build_clusters(
         num_opaque_clusters=num_opaque_clusters,
         num_opaque_supers=num_opaque_supers,
         super_factor=super_factor,
+        qa=np.ascontiguousarray(ab2[:, :, 0]),
+        qb=np.ascontiguousarray(ab2[:, :, 1]),
     )

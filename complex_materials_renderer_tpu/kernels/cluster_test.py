@@ -37,6 +37,24 @@ NEE_MAT_BITS = 6
 NEE_MAT_MASK = np.int32((1 << NEE_MAT_BITS) - 1)
 KEY_EMPTY = np.int32(2147483647)
 
+# Spare K-list slots beyond the 2*nee_max_media boundaries the march can
+# consume. A DUPLICATE media boundary (within T_MIN of the previous one —
+# coincident/double-faced shells) is correctly SKIPPED by the march's leg
+# logic but still occupies a list slot in the sweep, so without spares a
+# scene with coincident shells exhausts the list early and fails dark
+# where the reference's per-leg queries (whose T_MIN ray offset never
+# surfaces the duplicate) resolve — the round-2/3 advisor finding,
+# confirmed on chip (--nee-bound 2 visibly darkened cup). Two spares
+# absorb two duplicate crossings per shadow ray at +2 min/max chain ops
+# per media triangle; deeper coincident stacks still need --nee-bound.
+NEE_DUP_SPARE = 2
+
+
+def nee_list_len(nee_max_media: int) -> int:
+    """K-list length for the NEE sweep: enter+exit per media pair, plus
+    the duplicate-absorbing spares."""
+    return 2 * nee_max_media + NEE_DUP_SPARE
+
 
 def nee_state_size(K_NEE: int) -> int:
     """'nee' payload state: K packed boundary keys + t_opq."""
@@ -167,6 +185,24 @@ def make_cluster_tester(
             e2yj = row[7 * run + j]
             e2zj = row[8 * run + j]
             mat_j = row[9 * run + j]
+            # Quad far-corner coefficients (accel/clusters.py): the slot
+            # accepts the planar convex quad {u,v >= 0, qb*u+(1-qa)*v <=
+            # qb, (1-qb)*u+qa*v <= qa}; a plain triangle carries
+            # qa = qb = 0.5 (both tests == u+v <= 1). The complements
+            # are SCALAR ops — they co-issue with the vector pipe.
+            qa_j = row[10 * run + j]
+            qb_j = row[11 * run + j]
+            qa1_j = 1.0 - qa_j
+            qb1_j = 1.0 - qb_j
+
+            def inside(uu, vv):
+                """Quad-generalized barycentric acceptance."""
+                return (
+                    (uu >= -eps)
+                    & (vv >= -eps)
+                    & (uu * qb_j + vv * qa1_j <= qb_j + eps)
+                    & (uu * qb1_j + vv * qa_j <= qa_j + eps)
+                )
 
             # Classic Moller-Trumbore: one triangle vs 1024 rays. Two
             # REJECTED variants, both measured SLOWER end-to-end despite
@@ -197,13 +233,7 @@ def make_cluster_tester(
             if payload == "dnee":
                 # Set A (distance trace): closest hit as in 'dist'.
                 t_best, slot = state[0], state[1]
-                improved = (
-                    (uu >= -eps)
-                    & (vv >= -eps)
-                    & (uu + vv <= 1.0 + eps)
-                    & (tt > t_min)
-                    & (tt < t_best)
-                )
+                improved = inside(uu, vv) & (tt > t_min) & (tt < t_best)
                 t_best = jnp.where(improved, tt, t_best)
                 slot = jnp.where(improved, r_off + j, slot)
                 # Set B (NEE sweep): s/q/t_num reuse; only p/det and the
@@ -221,12 +251,7 @@ def make_cluster_tester(
                 keys = list(state[2 : 2 + K_NEE])
                 t_opq = state[2 + K_NEE]
                 med = is_media_mat(mat_j)
-                valid_geom = (
-                    (ub >= -eps)
-                    & (vb >= -eps)
-                    & (ub + vb <= 1.0 + eps)
-                    & (tb > t_min)
-                )
+                valid_geom = inside(ub, vb) & (tb > t_min)
                 t_opq = jnp.where(
                     valid_geom & ~med & (tb < t_opq), tb, t_opq
                 )
@@ -253,12 +278,7 @@ def make_cluster_tester(
                 keys = list(state[:K_NEE])
                 t_opq = state[K_NEE]
                 med = is_media_mat(mat_j)
-                valid_geom = (
-                    (uu >= -eps)
-                    & (vv >= -eps)
-                    & (uu + vv <= 1.0 + eps)
-                    & (tt > t_min)
-                )
+                valid_geom = inside(uu, vv) & (tt > t_min)
                 if mask is not None:
                     valid_geom = valid_geom & mask
                 t_opq = jnp.where(
@@ -279,13 +299,7 @@ def make_cluster_tester(
                     cand = jnp.maximum(cand, s)
                 return tuple(keys) + (t_opq,)
             t_best = state[0]
-            improved = (
-                (uu >= -eps)
-                & (vv >= -eps)
-                & (uu + vv <= 1.0 + eps)
-                & (tt > t_min)
-                & (tt < t_best)
-            )
+            improved = inside(uu, vv) & (tt > t_min) & (tt < t_best)
             t_best = jnp.where(improved, tt, t_best)
             if payload == "full":
                 (_, slot, ub, vb, nxb, nyb, nzb, mb, pxb, pyb, pzb) = state

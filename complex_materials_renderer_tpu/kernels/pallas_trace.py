@@ -45,6 +45,7 @@ BLOCK_RAYS = 1024  # 8 sublanes x 128 lanes
     data_fields=[
         "v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
         "bounds", "super_bounds", "tri_index", "mat",
+        "qa", "qb",
         "run_rows",
     ],
     meta_fields=[
@@ -67,13 +68,18 @@ class DeviceClusterGrid:
     super_bounds: jnp.ndarray  # (S, 8) SMEM-bound super-cluster AABBs
     tri_index: jnp.ndarray  # (C*128,) slot -> original triangle id
     mat: jnp.ndarray  # (C, 128) per-slot material id (float32 on device)
-    # Run-major triangle rows — the megakernel's triangle table: one row
-    # per SUB_SIZE-triangle run, 10 components strided by run_size —
+    # Per-slot quad far-corner coefficients (accel/clusters.py): a slot
+    # accepts {u,v >= 0, qb*u + (1-qa)*v <= qb, (1-qb)*u + qa*v <= qa};
+    # triangles carry (0.5, 0.5) — that is exactly u+v <= 1.
+    qa: jnp.ndarray  # (C, 128)
+    qb: jnp.ndarray  # (C, 128)
+    # Run-major primitive rows — the megakernel's triangle table: one row
+    # per SUB_SIZE-slot run, 12 components strided by run_size —
     # [v0x*r, v0y*r, v0z*r, e1x*r, e1y*r, e1z*r, e2x*r, e2y*r, e2z*r,
-    # mat*r], lane-padded to a multiple of 128. One dynamic ROW read
-    # fetches a whole run (vs 10 per-component reads per cluster);
-    # extracts within the row are static. Measured 5.38 vs 5.90
-    # ms/bounce against the per-component layout (NOTES.md round 3).
+    # mat*r, qa*r, qb*r], lane-padded to a multiple of 128. One dynamic
+    # ROW read fetches a whole run (vs 10+ per-component reads per
+    # cluster); extracts within the row are static. Measured 5.38 vs
+    # 5.90 ms/bounce against the per-component layout (NOTES.md round 3).
     run_rows: jnp.ndarray  # (C * runs_per_cluster, row_width)
     num_clusters: int
     num_supers: int
@@ -108,21 +114,30 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
     if width % subs:
         raise ValueError(f"cluster width {width} not divisible into runs")
     run = width // subs
-    # 10 components: v0, e1, e2, material id. (A 13-component layout
-    # with a precomputed normal was measured SLOWER: the reformulated
-    # test saved vector flops but paid 3 extra scalar extracts per
-    # triangle — see cluster_test.py.)
-    row_w = -(-(10 * run) // 128) * 128
+    # 12 components: v0, e1, e2, material id, quad (qa, qb). (A
+    # 13-component layout with a precomputed normal was measured SLOWER:
+    # the reformulated test saved vector flops but paid 3 extra scalar
+    # extracts per triangle — see cluster_test.py. The quad coefficients
+    # are different: +2 extracts per slot BUY a merged second triangle
+    # on quad-tessellated meshes.)
+    row_w = -(-(12 * run) // 128) * 128
     if np.asarray(grid.mat_id).max(initial=0) >= 64:
         raise ValueError(
             "material ids must fit 6 bits (< 64): the NEE sweep packs "
             "(boundary t | mat) into one int32 key (cluster_test.py)"
         )
+    qa = grid.qa if grid.qa is not None else np.full_like(
+        np.asarray(grid.v0x, np.float32), 0.5
+    )
+    qb = grid.qb if grid.qb is not None else np.full_like(
+        np.asarray(grid.v0x, np.float32), 0.5
+    )
     comps = [
         grid.v0x, grid.v0y, grid.v0z,
         grid.e1x, grid.e1y, grid.e1z,
         grid.e2x, grid.e2y, grid.e2z,
         np.asarray(grid.mat_id, np.float32),
+        qa, qb,
     ]
     run_rows = np.zeros((c * subs, row_w), np.float32)
     for k, arr in enumerate(comps):
@@ -140,6 +155,8 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
         # Material ids ride as float32 so every update is a same-type
         # vector select; ids are small ints, exactly representable.
         mat=jnp.asarray(grid.mat_id, jnp.float32),
+        qa=jnp.asarray(qa, jnp.float32),
+        qb=jnp.asarray(qb, jnp.float32),
         run_rows=jnp.asarray(run_rows),
         num_clusters=int(grid.bounds.shape[0]),
         num_supers=int(grid.super_bounds.shape[0]),
@@ -160,7 +177,7 @@ def _trace_kernel(num_clusters: int, num_supers: int, width: int,
         sb_ref,  # SMEM (S, 8)
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,  # (8,128)
         v0x_ref, v0y_ref, v0z_ref, e1x_ref, e1y_ref, e1z_ref,
-        e2x_ref, e2y_ref, e2z_ref, mat_ref,  # (C,128)
+        e2x_ref, e2y_ref, e2z_ref, mat_ref, qa_ref, qb_ref,  # (C,128)
         t_out, slot_out, u_out, v_out, nx_out, ny_out, nz_out, mat_out,
         px_out, py_out, pz_out,  # (8,128)
     ):
@@ -244,6 +261,8 @@ def _trace_kernel(num_clusters: int, num_supers: int, width: int,
                     g2y = e2y_ref[c]
                     g2z = e2z_ref[c]
                     m_row = mat_ref[c]
+                    qa_row = qa_ref[c]
+                    qb_row = qb_ref[c]
                     base_slot = (c * width).astype(jnp.float32)
 
                     eps = jnp.float32(1e-6)
@@ -257,6 +276,8 @@ def _trace_kernel(num_clusters: int, num_supers: int, width: int,
                         e2x = g2x[j]
                         e2y = g2y[j]
                         e2z = g2z[j]
+                        qa_j = qa_row[j]
+                        qb_j = qb_row[j]
 
                         # Moller-Trumbore, one triangle vs 1024 rays.
                         px = DY * e2z - DZ * e2y
@@ -275,10 +296,14 @@ def _trace_kernel(num_clusters: int, num_supers: int, width: int,
                         qz = sx * e1y - sy * e1x
                         vv = (DX * qx + DY * qy + DZ * qz) * inv_det
                         tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        # Quad-generalized acceptance (triangles carry
+                        # qa = qb = 0.5, reducing both far-edge tests to
+                        # (u+v)/2 <= 1/2): see accel/clusters.ClusterGrid.
                         improved = (
                             (uu >= -eps)
                             & (vv >= -eps)
-                            & (uu + vv <= 1.0 + eps)
+                            & (uu * qb_j + vv * (1.0 - qa_j) <= qb_j + eps)
+                            & (uu * (1.0 - qb_j) + vv * qa_j <= qa_j + eps)
                             & (tt > t_min)
                             & (tt < t_best)
                         )
@@ -413,7 +438,7 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
             pl.BlockSpec((s_count, 8), lambda b: (0, 0), memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
             tri_spec, tri_spec, tri_spec, tri_spec, tri_spec, tri_spec,
-            tri_spec, tri_spec, tri_spec, tri_spec,
+            tri_spec, tri_spec, tri_spec, tri_spec, tri_spec, tri_spec,
         ],
         out_specs=[
             pl.BlockSpec((8, 128), lambda b: (b, 0), memory_space=pltpu.VMEM)
@@ -427,7 +452,7 @@ def _trace_core(o, d, grid: DeviceClusterGrid, t_min, t_max, active=None):
         grid.v0x, grid.v0y, grid.v0z,
         grid.e1x, grid.e1y, grid.e1z,
         grid.e2x, grid.e2y, grid.e2z,
-        grid.mat,
+        grid.mat, grid.qa, grid.qb,
     )
 
     (t_o, slot_f, u_o, v_o, nx_o, ny_o, nz_o, mat_f, px_o, py_o, pz_o) = (

@@ -152,6 +152,11 @@ class Renderer:
                     ),
                     # 0 = auto: the measured default fan-out (16).
                     super_factor=self.options.super_factor or 16,
+                    # Quad slot merging (accel/clusters.pair_quads):
+                    # near-2x fewer slots on quad-tessellated meshes
+                    # (cup 92% / vessel 85% / gem_corner 81% pairable)
+                    # for the same acceptance geometry; 'auto' == on.
+                    quads=self.options.quads != "off",
                 )
                 build_fn = lambda: device_cluster_grid(self._host_accel)
             else:

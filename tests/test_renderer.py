@@ -36,14 +36,26 @@ def showcase_scene():
 
 def test_backends_agree_exactly(showcase_scene):
     """The Pallas cluster tracer and the XLA threaded BVH must produce the
-    same image (same seeds, same physics — only the traversal differs)."""
-    opt_c = dataclasses.replace(showcase_scene.options, backend="cluster")
+    same image (same seeds, same physics — only the traversal differs).
+
+    Quad merging OFF for the exact gate: a merged pair re-bases the
+    second triangle's Moller-Trumbore arithmetic, so hit distances move
+    by float rounding (measured max 2e-5 at 3/1440 pixels on showcase).
+    The default (quads on) is gated separately below at that tolerance."""
+    opt_c = dataclasses.replace(
+        showcase_scene.options, backend="cluster", quads="off"
+    )
     opt_b = dataclasses.replace(showcase_scene.options, backend="bvh")
     img_c = Renderer(showcase_scene, opt_c).render()
     img_b = Renderer(showcase_scene, opt_b).render()
     assert img_c.shape == img_b.shape == (20, 24, 3)
     np.testing.assert_allclose(img_c, img_b, atol=1e-5)
     assert img_c.mean() > 0.0
+
+    # Default cluster build (quad slots): same estimator to rounding.
+    opt_q = dataclasses.replace(showcase_scene.options, backend="cluster")
+    img_q = Renderer(showcase_scene, opt_q).render()
+    np.testing.assert_allclose(img_q, img_b, atol=1e-4)
 
 
 def test_chunked_passes_match_monolithic(showcase_scene, monkeypatch):

@@ -45,6 +45,8 @@ def main() -> None:
                     help="clusters per super-cluster (0 = auto)")
     ap.add_argument("--partition", default="off",
                     choices=["auto", "off", "media"])
+    ap.add_argument("--quads", default="auto", choices=["auto", "off"],
+                    help="quad slot merging (accel/clusters.pair_quads)")
     ap.add_argument("--engine", default="mega")
     ap.add_argument("--rng", default="counter")
     ap.add_argument("--nee-bound", type=int, default=0, dest="nee_bound",
@@ -72,6 +74,7 @@ def main() -> None:
     opt.cluster_size = args.width
     opt.super_factor = args.super_factor
     opt.partition = args.partition
+    opt.quads = args.quads
     opt.rng = args.rng
     opt.shard = "none"
     opt.engine = args.engine
@@ -88,7 +91,7 @@ def main() -> None:
     print(
         f"{os.path.basename(opt.obj_path)} {args.res}@{args.spp} "
         f"debug='{args.debug}' part={args.partition} w={args.width} "
-        f"sf={args.super_factor} "
+        f"sf={args.super_factor} quads={args.quads} "
         f"engine={args.engine}: {mp:.3f} Mpaths/s mean={img.mean():.5f}",
         flush=True,
     )
