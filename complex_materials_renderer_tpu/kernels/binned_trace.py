@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .cluster_test import (
     make_cluster_tester,
+    nee_list_len,
     nee_state_size,
     nee_unpack_mat,
     nee_unpack_t,
@@ -376,7 +377,7 @@ def trace_binned(
     after 1-2 — the bound only guards against degenerate scenes).
     """
     L = list_len
-    K_NEE = 2 * nee_max_media
+    K_NEE = nee_list_len(nee_max_media)
     C = grid.num_clusters
     S = grid.num_supers
     subs = grid.runs_per_cluster

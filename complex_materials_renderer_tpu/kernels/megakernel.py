@@ -58,6 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accel.clusters import SUPER_FACTOR
 from .cluster_test import (
     make_cluster_tester,
+    nee_list_len,
     nee_unpack_mat,
     nee_unpack_t,
     payload_bound,
@@ -430,7 +431,9 @@ def _make_kernel(
                 OX, OY, OZ, IX, IY, IZ, TMAX,
             )
 
-        K_NEE = 2 * nee_max_media  # tracked hits in the NEE multi-hit sweep
+        # Tracked hits in the NEE multi-hit sweep: enter+exit per media
+        # pair plus duplicate-absorbing spares (cluster_test.nee_list_len).
+        K_NEE = nee_list_len(nee_max_media)
 
         def traverse(OX, OY, OZ, DX, DY, DZ, TMAX, payload: str,
                      s_lo: int = 0, s_hi: int | None = None,
@@ -770,14 +773,13 @@ def _make_kernel(
             queries with a T_MIN ray offset would skip them. Opaque hits
             never consume list slots (the sweep routes them to a
             separate nearest-opaque track, like per-leg queries which
-            only ever surface the nearest one). One known divergence
-            from per-leg queries remains: a skipped duplicate MEDIA
-            boundary still OCCUPIES one of the K = 2*nee_max_media list
-            slots (the reference's per-leg ray offset never surfaces
-            it), so scenes with coincident/double-faced media shells can
-            exhaust the list early and fail dark where per-leg marching
-            resolves; raise --nee-bound for such scenes. Draws no RNG.
-            Unresolved
+            only ever surface the nearest one). A skipped duplicate
+            MEDIA boundary still occupies a list slot (the reference's
+            per-leg ray offset never surfaces it); the list carries
+            NEE_DUP_SPARE spare slots so coincident/double-faced shells
+            no longer exhaust it early (cluster_test.nee_list_len;
+            regression-tested in test_megakernel). Stacks deeper than
+            the spares still need --nee-bound. Draws no RNG. Unresolved
             marches (every list entry consumed as a boundary) fail dark,
             matching the wavefront engine's bounded-march semantics."""
             (ldx, ldy, ldz, ldist, eff, lv_r, lv_g, lv_b) = nee_setup(
@@ -1393,7 +1395,7 @@ def trace_paths_mega(
         # prefix) + K_NEE i32 tiles (the NEE sweep's packed keys).
         scratch_shapes=(
             [pltpu.VMEM((8, 128), jnp.float32)] * 11
-            + [pltpu.VMEM((8, 128), jnp.int32)] * (2 * nee_max_media)
+            + [pltpu.VMEM((8, 128), jnp.int32)] * nee_list_len(nee_max_media)
         ),
         interpret=grid.interpret,
     )(

@@ -49,6 +49,42 @@ def test_mega_matches_wavefront_tiny():
 
 
 @pytest.mark.slow
+def test_mega_coincident_shell_nee_matches_wavefront():
+    """Double-faced (coincident duplicated) media shells: every NEE
+    crossing yields a real boundary PLUS a duplicate within T_MIN. The
+    march skips duplicates, but each used to occupy a K-list slot — with
+    nee_max_media=1 (list 2) a single box crossing (2 real + 2 dup
+    boundaries) exhausted the list and failed dark where the wavefront
+    engine's per-leg traces (reference semantics, volpath:353-412)
+    resolve. The NEE_DUP_SPARE slots absorb them; images must agree."""
+    tris, mats, media = make_test_scene()
+    # Duplicate every medium triangle in place (double-faced shell).
+    med = mats == 1
+    tris = np.concatenate([tris, tris[med]])
+    mats = np.concatenate([mats, mats[med]])
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    # Config chosen so in-medium scatter lanes actually run NEE through
+    # the doubled shell: with NEE_DUP_SPARE=0 this measured mean
+    # 0.027176 vs 0.027695 (spares) — the exhaustion fails dark.
+    kw = dict(max_depth=6, rr_depth=3, nee_max_media=1)
+    img_m = np.asarray(
+        render_beauty_mega(
+            fixture_camera(), scene, grid, fixture_lights(), (24, 24), 4,
+            **kw,
+        )
+    )
+    img_w = np.asarray(
+        render_beauty(
+            fixture_camera(), scene, grid, fixture_lights(), (24, 24), 4,
+            **kw,
+        )
+    )
+    assert np.all(np.isfinite(img_m))
+    np.testing.assert_allclose(img_m, img_w, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_mega_partitioned_grid_matches():
     """An opaque/media-partitioned grid (NEE occlusion walk + media-only
     K-list sweep) renders the same image as the unpartitioned grid."""
