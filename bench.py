@@ -68,6 +68,87 @@ def _golden_rmse() -> dict:
     }
 
 
+def _config5_acceptance() -> dict:
+    """BASELINE.json config 5: 1920x1080 @ 1024 spp, tiles sharded over
+    v5e-8, scored as time-to-RMSE <= 1e-3.
+
+    One real chip is available, so the artifact decomposes honestly:
+    - measured single-chip 1080p throughput (Mpaths/s at the full
+      framebuffer, 4 spp timed after warm);
+    - measured RMSE convergence on 256^2 (RMSE per spp is
+      resolution-independent for a per-pixel MC estimator): a 64-spp
+      render against a 4096-spp truth calibrates c in RMSE = c/sqrt(spp),
+      giving the spp needed for RMSE <= 1e-3;
+    - estimated single-chip and v5e-8 times (tile-DP tracing is
+      communication-free — one psum at the end — so 8-chip scaling is
+      taken at the mesh width; the driver's dryrun_multichip validates
+      the sharded step compiles and runs).
+    """
+    import jax
+
+    from complex_materials_renderer_tpu.renderer import Renderer
+    from complex_materials_renderer_tpu.config import RenderOptions
+    from complex_materials_renderer_tpu.scene import load_scene
+    from complex_materials_renderer_tpu.tools.goldens import rmse
+
+    def bench_1080p():
+        opt = RenderOptions()
+        opt.obj_path = "scenes/showcase.obj"
+        opt.width, opt.height = 1920, 1080
+        opt.num_samples = 4
+        opt.rng = "counter"
+        opt.shard = "none"
+        scene = load_scene(opt.obj_path, opt)
+        r = Renderer(scene, scene.options)
+        r.render()
+        t0 = time.perf_counter()
+        img = r.render()
+        dt = time.perf_counter() - t0
+        assert np.all(np.isfinite(np.asarray(img)))
+        return 1920 * 1080 * 4 / dt / 1e6
+
+    def spp_to_target(target=1e-3):
+        opt = RenderOptions()
+        opt.obj_path = "scenes/showcase.obj"
+        opt.width = opt.height = 256
+        opt.rng = "counter"
+        opt.shard = "none"
+        opt.num_samples = 4096
+        scene = load_scene(opt.obj_path, opt)
+        truth = np.asarray(Renderer(scene, scene.options).render())
+        opt64 = RenderOptions()
+        opt64.obj_path = opt.obj_path
+        opt64.width = opt64.height = 256
+        opt64.rng = "counter"
+        opt64.shard = "none"
+        opt64.num_samples = 64
+        scene64 = load_scene(opt64.obj_path, opt64)
+        img64 = np.asarray(Renderer(scene64, scene64.options).render())
+        r64 = rmse(img64, truth)
+        # RMSE = c / sqrt(spp); the 4096-spp truth noise floor biases the
+        # estimate slightly optimistic at high spp — acceptable for an
+        # acceptance ESTIMATE (exact gate would need an analytic truth).
+        return r64, int(np.ceil(64 * (r64 / target) ** 2))
+
+    mp = bench_1080p()
+    r64, spp_star = spp_to_target()
+    paths_1024 = 1920 * 1080 * 1024
+    t_single_1024 = paths_1024 / (mp * 1e6)
+    paths_star = 1920 * 1080 * spp_star
+    return {
+        "config5": {
+            "mpaths_1080p_chip": round(mp, 3),
+            "rmse_64spp_256": round(r64, 5),
+            "spp_to_rmse_1e3": spp_star,
+            "time_1080p_1024spp_chip_s": round(t_single_1024, 1),
+            "time_1080p_1024spp_v5e8_s": round(t_single_1024 / 8, 1),
+            "time_to_rmse_1e3_1080p_v5e8_s": round(
+                paths_star / (mp * 1e6) / 8, 1
+            ),
+        }
+    }
+
+
 def _preview_cold_s() -> dict:
     """BASELINE.json config 1 (default scene, 128x128@8): cold
     time-to-first-image — the reference's zero-compile launch is the bar
@@ -161,6 +242,11 @@ def main() -> None:
     except Exception as e:
         golden = {"golden_rmse": f"error: {type(e).__name__}"}
 
+    try:
+        config5 = _config5_acceptance()
+    except Exception as e:
+        config5 = {"config5": f"error: {type(e).__name__}"}
+
     # Preview cold-start LAST: its dominant cost is compile-service
     # latency (measured 25 s to 1079 s for identical work), and a slow
     # grant must not precede the throughput measurements. Its jit
@@ -180,6 +266,7 @@ def main() -> None:
                 "vs_baseline": round(primary / TARGET_MPATHS, 4),
                 "configs": configs,
                 **golden,
+                **config5,
                 **preview,
             }
         )

@@ -15,14 +15,17 @@ Replaces the reference's hardware ray-query triangle stage
 One measured arithmetic choice (round 3):
 
 - PACKED NEE K-LIST. The sweep's sorted insertion keeps the K nearest
-  media boundaries; as separate (t, mat) pairs that costs 5 vector ops
-  per slot per triangle. Packing both into one int32 key
-  [t-bits & ~63 | mat] (positive-float bit order == value order; the
-  6-bit mat field quantizes t DOWN by <= 63 ulps ~ 7.5e-6 relative,
-  two orders below the T_MIN=1e-4 the march's dup/window logic works
-  at) makes insertion a 2-op integer min/max chain and HALVES the
-  carried state (K keys + t_opq vs K ts + K mats + t_opq).
-  device_cluster_grid rejects scenes with mat ids >= 64.
+  media boundaries; as separate (t, medium) pairs that costs 5 vector
+  ops per slot per triangle. Packing both into one int32 key
+  [t-bits & ~63 | media_index] (positive-float bit order == value
+  order; the 6-bit field quantizes t DOWN by <= 63 ulps ~ 7.5e-6
+  relative, two orders below the T_MIN=1e-4 the march's dup/window
+  logic works at) makes insertion a 2-op integer min/max chain and
+  HALVES the carried state (K keys + t_opq vs K ts + K mats + t_opq).
+  The field holds the MEDIA-TABLE ROW INDEX, not the raw material id
+  (computed scalar-side from the loop-invariant med_ids — it co-issues),
+  so material ids are unbounded; only the media-table row count must
+  fit 6 bits (<= 63 media — the reference's dictionary has 12).
 """
 
 from __future__ import annotations
@@ -69,7 +72,7 @@ def nee_unpack_t(key, miss, bitcast=jax.lax.bitcast_convert_type):
 
 
 def nee_unpack_mat(key):
-    """Material id of a packed key; -1.0 for empty slots."""
+    """Media-table row index of a packed key; -1.0 for empty slots."""
     m = (key & NEE_MAT_MASK).astype(jnp.float32)
     return jnp.where(key == KEY_EMPTY, jnp.float32(-1.0), m)
 
@@ -142,11 +145,18 @@ def make_cluster_tester(
     """
     eps = jnp.float32(1e-6)
 
-    def is_media_mat(mat_scalar):
-        m = jnp.bool_(False)
-        for mid in med_ids:
-            m = m | ((mat_scalar == mid) & (mid >= 0.0))
-        return m
+    def media_index(mat_scalar):
+        """Scalar media-table row index for a material id (-1 = none;
+        first matching row wins, mirroring the reference's first-match
+        linear scan volpath:137-145). Pure scalar ops over the
+        loop-invariant med_ids — they co-issue with the vector pipe."""
+        idx = jnp.float32(-1.0)
+        for i in reversed(range(len(med_ids))):
+            mid = med_ids[i]
+            idx = jnp.where(
+                (mat_scalar == mid) & (mid >= 0.0), jnp.float32(i), idx
+            )
+        return idx
 
     def test_cluster(c, rays, state, mask=None):
         """``mask`` (lane tile of bool) restricts which lanes may ACCEPT
@@ -250,13 +260,14 @@ def make_cluster_tester(
                 tb = t_num * inv_b
                 keys = list(state[2 : 2 + K_NEE])
                 t_opq = state[2 + K_NEE]
-                med = is_media_mat(mat_j)
+                midx = media_index(mat_j)
+                med = midx >= 0.0
                 valid_geom = inside(ub, vb) & (tb > t_min)
                 t_opq = jnp.where(
                     valid_geom & ~med & (tb < t_opq), tb, t_opq
                 )
                 valid = valid_geom & med & (tb < t_opq)
-                mat_i = mat_j.astype(jnp.int32)
+                mat_i = jnp.maximum(midx, 0.0).astype(jnp.int32)
                 cand = jnp.where(
                     valid,
                     (bitcast(tb, jnp.int32) & ~NEE_MAT_MASK) | mat_i,
@@ -277,7 +288,8 @@ def make_cluster_tester(
                 # and tightens payload_bound.
                 keys = list(state[:K_NEE])
                 t_opq = state[K_NEE]
-                med = is_media_mat(mat_j)
+                midx = media_index(mat_j)
+                med = midx >= 0.0
                 valid_geom = inside(uu, vv) & (tt > t_min)
                 if mask is not None:
                     valid_geom = valid_geom & mask
@@ -285,7 +297,7 @@ def make_cluster_tester(
                     valid_geom & ~med & (tt < t_opq), tt, t_opq
                 )
                 valid = valid_geom & med & (tt < t_opq)
-                mat_i = mat_j.astype(jnp.int32)
+                mat_i = jnp.maximum(midx, 0.0).astype(jnp.int32)
                 cand = jnp.where(
                     valid,
                     (bitcast(tt, jnp.int32) & ~NEE_MAT_MASK) | mat_i,

@@ -697,6 +697,19 @@ def _make_kernel(
             state, _ = jax.lax.while_loop(scond, sbody, (state0, sentries))
             return state
 
+        def media_scan_idx(idx):
+            """Media row selection by TABLE INDEX (the NEE packed keys
+            carry the media-table row index, cluster_test.media_index;
+            -1 = no medium). Same payload as media_scan."""
+            zeros = jnp.zeros_like(idx)
+            out = [zeros] * 7 + [jnp.ones_like(idx)]
+            for mi in range(M):
+                m = idx == jnp.float32(mi)
+                for f in range(8):
+                    out[f] = jnp.where(m, media_ref[mi, 1 + f], out[f])
+            has = idx >= 0.0
+            return (has, *out)
+
         def media_scan(mat):
             """First-match linear scan of the media table (volpath:137-145).
             sigma rows are pre-scaled by the scene scale; g is the channel
@@ -827,6 +840,12 @@ def _make_kernel(
             ex_g = jnp.zeros_like(px)
             ex_b = jnp.zeros_like(px)
             last_t = jnp.zeros_like(px)
+            # Real (non-duplicate) boundaries consumed: the march's
+            # crossing budget stays 2*nee_max_media — the NEE_DUP_SPARE
+            # extra list slots absorb DUPLICATES only, so the bound
+            # semantics (and wavefront-engine equivalence) are unchanged.
+            n_real = jnp.zeros_like(px)
+            real_cap = jnp.float32(2 * nee_max_media)
 
             for i in range(K_NEE):
                 t_i = ts[i]
@@ -855,9 +874,10 @@ def _make_kernel(
                 running = running & ~opq
                 consider = running & ~dup
                 real = consider & (t_i < window)
+                n_real = n_real + jnp.where(real, 1.0, 0.0)
                 ended = consider & ~real  # miss: march resolves, trans kept
                 (_has, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b, _g2, _i2) = (
-                    media_scan(m_i)
+                    media_scan_idx(m_i)
                 )
 
                 # Every real list entry IS a media boundary (opaque hits
@@ -880,10 +900,16 @@ def _make_kernel(
                 in_med = in_med ^ boundary  # toggle enter<->exit
                 running = running & ~ended
 
-            # List exhausted while still marching: fail dark.
-            tr_r = jnp.where(running, 0.0, tr_r)
-            tr_g = jnp.where(running, 0.0, tr_g)
-            tr_b = jnp.where(running, 0.0, tr_b)
+            # Fail dark when the march is left unresolved: list exhausted
+            # mid-march, or the real-crossing budget consumed (the
+            # bounded wavefront march cannot verify the tail after
+            # max_media pairs and truncates identically — matching it
+            # keeps the engines' images equal; only DUPLICATES ride the
+            # spare slots for free).
+            dark = running | (n_real >= real_cap)
+            tr_r = jnp.where(dark, 0.0, tr_r)
+            tr_g = jnp.where(dark, 0.0, tr_g)
+            tr_b = jnp.where(dark, 0.0, tr_b)
             return lv_r * tr_r, lv_g * tr_g, lv_b * tr_b
 
         def bounce(st):
@@ -1428,6 +1454,11 @@ def pack_media(media, scale) -> jnp.ndarray:
     m = mat_id.shape[0]
     if m == 0:
         return jnp.full((1, 9), -1.0, jnp.float32)
+    if m > 63:
+        # The NEE sweep packs the media-table ROW INDEX into 6 bits of
+        # its int32 boundary keys (cluster_test.NEE_MAT_BITS). Material
+        # ids themselves are unbounded.
+        raise ValueError(f"{m} media rows exceed the 63-medium key field")
     scale = jnp.asarray(scale, jnp.float32)
     rows = jnp.concatenate(
         [

@@ -121,11 +121,10 @@ def device_cluster_grid(grid, interpret: bool | None = None) -> DeviceClusterGri
     # are different: +2 extracts per slot BUY a merged second triangle
     # on quad-tessellated meshes.)
     row_w = -(-(12 * run) // 128) * 128
-    if np.asarray(grid.mat_id).max(initial=0) >= 64:
-        raise ValueError(
-            "material ids must fit 6 bits (< 64): the NEE sweep packs "
-            "(boundary t | mat) into one int32 key (cluster_test.py)"
-        )
+    # Material ids are unbounded below 2^24 (they ride as exact f32):
+    # the NEE packed keys carry the MEDIA-TABLE ROW INDEX, not the raw
+    # id (cluster_test.media_index) — only the media-table row count is
+    # capped (megakernel.pack_media).
     qa = grid.qa if grid.qa is not None else np.full_like(
         np.asarray(grid.v0x, np.float32), 0.5
     )

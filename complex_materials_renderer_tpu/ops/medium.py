@@ -70,6 +70,26 @@ def lookup(mat_id: jnp.ndarray, table: MediaTable, scale) -> MediumLanes:
     )
 
 
+def lookup_index(row_idx: jnp.ndarray, table: MediaTable, scale) -> MediumLanes:
+    """Medium lookup by media-TABLE ROW INDEX (-1 = no medium).
+
+    The NEE sweep's packed boundary keys carry the media row index
+    (kernels/cluster_test.media_index) rather than the raw material id,
+    so material ids are unbounded; this selects the row directly."""
+    has = row_idx >= 0
+    idx = jnp.maximum(row_idx, 0).astype(jnp.int32)
+    scale = jnp.asarray(scale, jnp.float32)
+    sel = lambda a: jnp.take(a, idx, axis=0)
+    zero3 = jnp.zeros((row_idx.shape[0], 3), jnp.float32)
+    return MediumLanes(
+        has_medium=has,
+        sigma_s=jnp.where(has[:, None], sel(table.sigma_s) * scale, zero3),
+        sigma_a=jnp.where(has[:, None], sel(table.sigma_a) * scale, zero3),
+        g=jnp.where(has[:, None], sel(table.g), zero3),
+        ior=jnp.where(has, sel(table.ior), 1.0),
+    )
+
+
 def eval_transmittance(dist, sigma_s, sigma_a):
     """Homogeneous Beer-Lambert transmittance (volpath:248-253)."""
     extinction = sigma_a + sigma_s

@@ -28,10 +28,11 @@ import jax
 import jax.numpy as jnp
 
 from ..kernels.binned_trace import trace_binned
+from ..kernels.cluster_test import NEE_DUP_SPARE, nee_list_len
 from ..kernels.megakernel import MegaState
 from ..kernels.pallas_trace import DeviceClusterGrid, ShadedHit
 from ..ops import rng as rng_ops
-from ..ops.medium import free_flight_candidate, lookup
+from ..ops.medium import free_flight_candidate, lookup_index
 from .hitinfo import SceneArrays
 from .integrator import T_MAX, T_MIN, Lights, Tracer, _State, _bounce
 
@@ -50,6 +51,10 @@ def _march_klist(ts, ms, t_opq, ldist, eff, active, media, scale):
     in_med = jnp.zeros_like(active)
     ex = jnp.zeros((R, 3), jnp.float32)
     last_t = jnp.zeros((R,), jnp.float32)
+    # Real-crossing budget (megakernel.nee_resolve): the NEE_DUP_SPARE
+    # extra list slots absorb duplicates only.
+    n_real = jnp.zeros((R,), jnp.float32)
+    real_cap = jnp.float32(K - NEE_DUP_SPARE)
 
     for i in range(K):
         t_i = ts[i]
@@ -74,7 +79,7 @@ def _march_klist(ts, ms, t_opq, ldist, eff, active, media, scale):
         real = consider & (t_i < window)
         ended = consider & ~real  # miss: march resolves, trans kept
 
-        med_i = lookup(m_i.astype(jnp.int32), media, scale)
+        med_i = lookup_index(m_i.astype(jnp.int32), media, scale)
 
         exitl = real & in_med
         seg = jnp.minimum(t_i - last_t, rem)
@@ -87,10 +92,13 @@ def _march_klist(ts, ms, t_opq, ldist, eff, active, media, scale):
         )
         last_t = jnp.where(real, t_i, last_t)
         in_med = in_med ^ real
+        n_real = n_real + jnp.where(real, 1.0, 0.0)
         running = running & ~ended
 
-    # List exhausted while still marching: fail dark.
-    return jnp.where(running[:, None], 0.0, tr)
+    # Unresolved march (list exhausted mid-march, or the real-crossing
+    # budget consumed): fail dark, like the bounded per-leg march.
+    dark = running | (n_real >= real_cap)
+    return jnp.where(dark[:, None], 0.0, tr)
 
 
 def make_binned_tracer(
@@ -103,7 +111,7 @@ def make_binned_tracer(
     cap_iters: int = 12,
 ) -> Tracer:
     wlo, whi = scene.world_lo, scene.world_hi
-    K = 2 * nee_max_media
+    K = nee_list_len(nee_max_media)
 
     def closest(org, direction, alive):
         bound = jnp.where(alive, T_MAX, 0.0)

@@ -125,39 +125,54 @@ class Renderer:
                         width = 16
                         while width < ntris:
                             width *= 2
-                self._host_accel = build_clusters(
-                    scene.triangles, scene.mat_ids,
-                    cluster_size=width,
-                    # Oversized-triangle bisection (split_frac) measured
-                    # SLOWER on the bench scenes (0.81 vs 1.07 Mpaths/s on
-                    # showcase): the extra clusters cost more visits than
-                    # the tighter AABBs save. Off by default; available
-                    # for scenes with pathological scene-spanning fans.
-                    #
-                    # Opaque/media segregation lets the NEE sweep run
-                    # its K-list collection over media clusters only and
-                    # the fused dnee walk serve dist+occlusion+K-list in
-                    # one pass over the partitioned ranges. Default
-                    # 'auto' (see resolve_partition for the A/B record).
-                    media_mats=(
-                        set(int(m) for m in scene.media.mat_id if int(m) >= 0)
-                        if scene.media is not None
-                        and resolve_partition(
-                            self.options.partition,
-                            int(scene.triangles.shape[0]),
-                            width,
-                            any(int(m) >= 0 for m in scene.media.mat_id),
-                        )
-                        else None
-                    ),
-                    # 0 = auto: the measured default fan-out (16).
-                    super_factor=self.options.super_factor or 16,
-                    # Quad slot merging (accel/clusters.pair_quads):
-                    # near-2x fewer slots on quad-tessellated meshes
-                    # (cup 92% / vessel 85% / gem_corner 81% pairable)
-                    # for the same acceptance geometry; 'auto' == on.
-                    quads=self.options.quads != "off",
+                # Opaque/media segregation lets the NEE sweep run its
+                # K-list collection over media clusters only and the
+                # fused dnee walk serve dist+occlusion+K-list in one
+                # pass over the partitioned ranges. Default 'auto' (see
+                # resolve_partition for the A/B record).
+                media_mats = (
+                    set(int(m) for m in scene.media.mat_id if int(m) >= 0)
+                    if scene.media is not None
+                    and resolve_partition(
+                        self.options.partition,
+                        int(scene.triangles.shape[0]),
+                        width,
+                        any(int(m) >= 0 for m in scene.media.mat_id),
+                    )
+                    else None
                 )
+
+                def _build(sf):
+                    return build_clusters(
+                        scene.triangles, scene.mat_ids,
+                        cluster_size=width,
+                        # Oversized-triangle bisection (split_frac)
+                        # measured SLOWER on the bench scenes (0.81 vs
+                        # 1.07 Mpaths/s on showcase): the extra clusters
+                        # cost more visits than the tighter AABBs save.
+                        # Off by default; available for scenes with
+                        # pathological scene-spanning fans.
+                        media_mats=media_mats,
+                        super_factor=sf,
+                        # Quad slot merging (accel/clusters.pair_quads):
+                        # near-2x fewer slots on quad-tessellated meshes
+                        # (cup 92% / vessel 85% / gem_corner 81%
+                        # pairable) for the same acceptance geometry;
+                        # 'auto' == on.
+                        quads=self.options.quads != "off",
+                    )
+
+                # 0 = auto: the measured default fan-out (16), doubled
+                # until huge scenes fit the megakernel's 1024-super cap
+                # (trace_paths_mega) instead of rejecting them.
+                sf = self.options.super_factor or 16
+                self._host_accel = _build(sf)
+                while (
+                    self.options.super_factor == 0
+                    and self._host_accel.super_bounds.shape[0] > 1024
+                ):
+                    sf *= 2
+                    self._host_accel = _build(sf)
                 build_fn = lambda: device_cluster_grid(self._host_accel)
             else:
                 self._host_accel = build_bvh(

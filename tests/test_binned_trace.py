@@ -149,15 +149,19 @@ def test_binned_dist_matches_oracle():
 
 
 def test_binned_nee_matches_oracle():
+    from complex_materials_renderer_tpu.kernels.cluster_test import (
+        nee_list_len,
+    )
+
     tris, mats, grid, media9 = _scene(seed=11, media_every=2)
     o, d = _random_rays(200, seed=12)
     rng = np.random.default_rng(13)
     bound = rng.uniform(1.0, 8.0, 200).astype(np.float32)
-    K = 6
+    K = nee_list_len(3)  # 2*3 crossings + the duplicate-absorbing spares
 
     out = trace_binned(
         grid, media9, jnp.asarray(o), jnp.asarray(d), jnp.asarray(bound),
-        "nee", nee_max_media=K // 2,
+        "nee", nee_max_media=3,
     )
     ts = np.stack([np.asarray(x) for x in out[:K]], -1)
     t_opq = np.asarray(out[2 * K])  # ts[0:K], mats[K:2K], t_opq last
@@ -230,11 +234,17 @@ def test_binned_nee_overflow_matches():
         np.testing.assert_array_equal(ms_t[lane][:n_t], ms_r[lane][:n_r])
 
 
-def test_mat_id_field_guard():
-    """The NEE key packs the material id into 6 bits; the device grid
-    build must reject scenes that overflow the field."""
-    tris = _random_tris(8, seed=40)
-    mats = np.full(8, 64, np.int32)
-    with pytest.raises(ValueError, match="6 bits"):
-        device_cluster_grid(build_clusters(tris, mats, cluster_size=8),
-                            interpret=True)
+def test_media_row_count_guard():
+    """The NEE key packs the MEDIA-TABLE ROW INDEX into 6 bits (material
+    ids themselves are unbounded — tests/test_scale.py); pack_media must
+    reject tables that overflow the field."""
+    m = 64
+    media = MediaTable(
+        mat_id=np.arange(m, dtype=np.int32),
+        sigma_s=np.ones((m, 3), np.float32),
+        sigma_a=np.ones((m, 3), np.float32),
+        g=np.zeros((m, 3), np.float32),
+        ior=np.ones((m,), np.float32),
+    )
+    with pytest.raises(ValueError, match="63"):
+        pack_media(media, 1.0)

@@ -83,6 +83,12 @@ def main() -> None:
 
     scene = load_scene(opt.obj_path, opt)
     r = Renderer(scene, scene.options)
+    print(
+        f"[grid] clusters={r._host_accel.num_clusters} "
+        f"supers={r._host_accel.super_bounds.shape[0]} "
+        f"width={r._host_accel.v0x.shape[1]}",
+        flush=True,
+    )
     r.render()  # warm the exact signature
     t0 = time.perf_counter()
     img = np.asarray(r.render())

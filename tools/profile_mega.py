@@ -54,8 +54,11 @@ def main() -> None:
     opt.obj_path = scene_path
     scene = load_scene(opt.obj_path, opt)
     o = scene.options
+    quads = os.environ.get("CMR_PROFILE_QUADS", "auto") != "off"
     grid = device_cluster_grid(
-        build_clusters(scene.triangles, scene.mat_ids, cluster_size=128)
+        build_clusters(
+            scene.triangles, scene.mat_ids, cluster_size=128, quads=quads
+        )
     )
     arrays = make_scene_arrays(
         scene.triangles, scene.mat_ids, scene.media, o.scale, o.background
