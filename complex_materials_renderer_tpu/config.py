@@ -38,7 +38,7 @@ class RenderOptions:
     # --- TPU-rebuild extensions ---
     aov: str = "beauty"  # beauty | depth | normal | topology
     backend: str = "auto"  # auto | cluster (pallas) | bvh (threaded, XLA)
-    engine: str = "auto"  # auto | mega (fused kernel) | wavefront (XLA loop) | binned (per-lane binned traces)
+    engine: str = "auto"  # auto | mega (fused kernel) | wavefront (XLA loop) | binned (per-lane binned traces) | pair (cluster-major pair sweep)
     tir: str = "reflect"  # reflect | kill (reference-faithful TIR termination)
     rng: str = "parity"  # parity (sequential per pixel, ref volpath:575) | counter
     sample_chunk: int = 0  # samples per device pass; 0 = auto
@@ -74,7 +74,7 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--rr-depth\tPath depth after which russian roulette starts (default: 16)
 \t--rng\tparity (reference-matching PCG stream) or counter (sample-parallel)
 \t--backend\tauto (default) | cluster (Pallas TPU kernel) | bvh (XLA)
-\t--engine\tauto (default) | mega (fused path kernel) | wavefront (XLA loop) | binned (lane-binned traces)
+\t--engine\tauto (default) | mega (fused path kernel) | wavefront (XLA loop) | binned (lane-binned traces) | pair (cluster-major pair sweep)
 \t--tir\treflect (default) | kill (reference-faithful TIR termination)
 \t--shard\tauto (tile-shard across devices) or none
 \t--nee-bound\tMax media crossings along shadow rays (default: 4)

@@ -252,6 +252,18 @@ def render_beauty_mega(
             nee_max_media=nee_max_media, tir=tir,
             list_len=binned_list, cap_iters=binned_cap,
         )
+    elif trace_engine == "pair":
+        # Cluster-major pair sweep with XLA physics — one global sort
+        # groups every (lane, cluster) pair cluster-major per trace, so
+        # visit count tracks listed pairs instead of block unions
+        # (pairrender / kernels/pairsweep.py).
+        from .pairrender import make_pair_kern
+
+        kern = make_pair_kern(
+            grid, scene, lights, media9,
+            max_depth=max_depth, rr_depth=rr_depth,
+            nee_max_media=nee_max_media, tir=tir,
+        )
     else:
         kern = partial(
             trace_paths_mega,

@@ -283,7 +283,7 @@ class Renderer:
         # cluster-grid accel; the wavefront XLA loop remains the portable
         # engine (and the only one for the threaded-BVH backend).
         engine = self._resolve_engine()
-        if engine in ("mega", "binned"):
+        if engine in ("mega", "binned", "pair"):
             from .render.megarender import render_beauty_mega
 
             knobs = _mega_env_knobs()
@@ -293,6 +293,10 @@ class Renderer:
                 knobs["trace_engine"] = "binned"
                 knobs["binned_list"] = int(os.environ.get("CMR_BINNED_LIST", 8))
                 knobs["binned_cap"] = int(os.environ.get("CMR_BINNED_CAP", 12))
+            if engine == "pair":
+                # Cluster-major pair sweep with XLA physics: megarender
+                # driver reused, per-pass kernel swapped (pairrender).
+                knobs["trace_engine"] = "pair"
             if (
                 knobs["schedule_mode"] == "auto"
                 and opt.width * opt.height * opt.num_samples < (1 << 18)
@@ -396,7 +400,7 @@ class Renderer:
                 if jax.default_backend() == "tpu" and is_cluster
                 else "wavefront"
             )
-        if engine in ("mega", "binned") and not is_cluster:
+        if engine in ("mega", "binned", "pair") and not is_cluster:
             raise ValueError(f"--engine {engine} requires --backend cluster")
         return engine
 
