@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from ..kernels.cluster_test import nee_list_len
 from ..kernels.megakernel import MegaState
 from ..kernels.pairsweep import trace_pairs
-from ..kernels.pallas_trace import DeviceClusterGrid, ShadedHit
+from ..kernels.pallas_trace import (
+    DeviceClusterGrid,
+    ShadedHit,
+    trace_shaded_clusters,
+)
 from ..ops import rng as rng_ops
 from ..ops.medium import free_flight_candidate
 from .binnedrender import _march_klist
@@ -45,30 +49,67 @@ def make_pair_tracer(
     nee_max_media: int,
     list_len: int = 12,
     chunk_blocks: int = 8,
+    closest_mode: str = "shared",
 ) -> Tracer:
+    """HYBRID trace set (the measured optimum): the main closest-hit
+    trace keeps the BLOCK-SHARED cluster walk — camera/bounce rays ride
+    the engine's coherence sort, so block unions sit near the per-lane
+    ideal and the walk has zero scheduling glue — while the distance and
+    NEE traces go through the pair sweep, where the dilution actually
+    lives: interior free-flight segments and shadow lines list 1-3
+    clusters per lane against 30-50-cluster block unions (a 14-20x
+    arithmetic dilution at full width, tools/study_pairs.py). The
+    pair-everything variant (closest_mode='pair') measured 19 ms per
+    full-payload trace at 65k lanes — the expansion glue scales with
+    lanes x list_len and loses exactly where block sharing wins."""
     wlo, whi = scene.world_lo, scene.world_hi
     K = nee_list_len(nee_max_media)
 
     def closest(org, direction, alive):
         bound = jnp.where(alive, T_MAX, 0.0)
-        (t, slot, u, v, nx, ny, nz, mat, px, py, pz) = trace_pairs(
-            grid, media9, org, direction, bound, "full",
-            world_lo=wlo, world_hi=whi,
-            list_len=list_len, chunk_blocks=chunk_blocks,
+        if closest_mode == "pair":
+            (t, slot, u, v, nx, ny, nz, mat, px, py, pz) = trace_pairs(
+                grid, media9, org, direction, bound, "full",
+                world_lo=wlo, world_hi=whi,
+                list_len=list_len, chunk_blocks=chunk_blocks,
+            )
+            hit = slot >= 0.0
+            n = jnp.stack([nx, ny, nz], axis=-1)
+            n = n / jnp.maximum(
+                jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20
+            )
+            return ShadedHit(
+                t=jnp.where(hit, t, T_MAX),
+                hit=hit,
+                u=u,
+                v=v,
+                normal=n,
+                mat_id=jnp.where(hit, mat, -1.0).astype(jnp.int32),
+                position=jnp.stack([px, py, pz], axis=-1),
+            )
+        # Scene-box exit clamp (the round-3 mega fix): a miss lane must
+        # not carry t_best = 1e4 and force every cluster along its ray.
+        tiny = jnp.float32(1e-12)
+
+        def axis_exit(lo_v, hi_v, O, D):
+            inv = 1.0 / jnp.where(
+                jnp.abs(D) < tiny, jnp.where(D < 0, -tiny, tiny), D
+            )
+            return jnp.maximum((lo_v - O) * inv, (hi_v - O) * inv)
+
+        tf = jnp.minimum(
+            jnp.minimum(
+                axis_exit(wlo[0], whi[0], org[:, 0], direction[:, 0]),
+                axis_exit(wlo[1], whi[1], org[:, 1], direction[:, 1]),
+            ),
+            axis_exit(wlo[2], whi[2], org[:, 2], direction[:, 2]),
         )
-        hit = slot >= 0.0
-        n = jnp.stack([nx, ny, nz], axis=-1)
-        n = n / jnp.maximum(
-            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20
+        clamp = jnp.minimum(
+            jnp.float32(T_MAX),
+            jnp.maximum(tf, 0.0) * 1.0001 + 10.0 * jnp.float32(T_MIN),
         )
-        return ShadedHit(
-            t=jnp.where(hit, t, T_MAX),
-            hit=hit,
-            u=u,
-            v=v,
-            normal=n,
-            mat_id=jnp.where(hit, mat, -1.0).astype(jnp.int32),
-            position=jnp.stack([px, py, pz], axis=-1),
+        return trace_shaded_clusters(
+            org, direction, grid, T_MIN, jnp.where(alive, clamp, 0.0)
         )
 
     def distance(position, dir_after, transmitted, rngs, med):
@@ -85,7 +126,9 @@ def make_pair_tracer(
             dt, dslot = trace_pairs(
                 grid, media9, position, dir_after, bound, "dist",
                 world_lo=wlo, world_hi=whi,
-                list_len=max(4, list_len // 2),
+                # Candidate-bounded interior segments list 1-3 clusters;
+                # glue scales with list_len and gens measured free.
+                list_len=4,
                 chunk_blocks=chunk_blocks,
             )
             return jnp.where(dslot >= 0.0, dt, T_MAX)
@@ -109,7 +152,10 @@ def make_pair_tracer(
             out = trace_pairs(
                 grid, media9, position, ldir, eff, "nee",
                 nee_max_media=nee_max_media,
-                list_len=max(4, list_len // 2),
+                # L=6 measured 5.4 ms vs 11.2 at L=12 at 65k lanes; the
+                # overflow-generation cost measured ~zero (the K-list
+                # bound resolves most lanes in one generation).
+                list_len=4,
                 chunk_blocks=chunk_blocks,
             )
             ts = out[:K]
@@ -159,16 +205,52 @@ def make_pair_kern(
             lane=jnp.arange(n, dtype=jnp.int32),
         )
 
+        def bounce_at(s):
+            return _bounce(
+                s, scene, None, lights, max_depth, rr_depth,
+                nee_max_media, tir, tracer=tracer,
+            )
+
+        # TWO-WIDTH bounce: the pair machinery's glue (flat key sorts,
+        # pair gathers, sort-backs) is sized by lanes x list_len
+        # statically, so the deep-path tail — a few hundred survivors —
+        # would pay full-wavefront glue every iteration. The megarender
+        # driver compacts live lanes first before every kern call, so
+        # when the live count fits n/8 a static slice is exact: bounce
+        # the narrow head (1/8 the glue), splice it back over the
+        # unchanged dead tail. Same trick as the wavefront engine's
+        # two-phase loop (integrator.render_beauty).
+        widths = [w for w in (n // 64, n // 8) if w >= 1024]
+
+        def head_bounce(w):
+            def run(s):
+                head = _State(*(x[:w] for x in s))
+                head = bounce_at(head)
+                return _State(
+                    *(
+                        jnp.concatenate([h, x[w:]])
+                        for h, x in zip(head, s)
+                    )
+                )
+            return run
+
         def cond(c):
             s, it = c
             return (it < max_iters) & jnp.any(s.alive)
 
         def body(c):
             s, it = c
-            s = _bounce(
-                s, scene, None, lights, max_depth, rr_depth,
-                nee_max_media, tir, tracer=tracer,
-            )
+            # Exact safety test per tier (not a live-count heuristic):
+            # a head slice is sound iff no lane beyond it is alive —
+            # true right after a driver compaction, and detected
+            # directly so un-repartitioned loops (static/hybrid
+            # schedules) stay wide until the tail really is confined.
+            run = bounce_at
+            for w in reversed(widths):
+                run = (lambda run, w: lambda s: jax.lax.cond(
+                    ~jnp.any(s.alive[w:]), head_bounce(w), run, s
+                ))(run, w)
+            s = run(s)
             return s, it + 1
 
         st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))

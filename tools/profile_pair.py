@@ -104,18 +104,42 @@ def main():
     if "--binned" in sys.argv:
         print(f"binned full: {slope(binned_full):8.2f} ms/trace", flush=True)
 
-    for L in (12, 8):
-        for cb in (8,):
+    # NEE-shaped trace: origins INSIDE the medium (scatter points along
+    # the camera rays), direction toward the light, bound = light dist.
+    lp = jnp.asarray(opt.light_pos, jnp.float32)
+    o_in = o + d * 2.0  # roughly inside the cup volume for many lanes
+    tl = lp[None] - o_in
+    ldist = jnp.linalg.norm(tl, axis=1)
+    ldir = tl / jnp.maximum(ldist, 1e-20)[:, None]
+
+    for payload, L_list in (("nee", (6, 12)), ("dist", (4, 6)), ("full", (12,))):
+        for L in L_list:
             for mg in (64, 1):
-                def pair_full(o_, L=L, cb=cb, mg=mg):
-                    return trace_pairs(
-                        dg, media9, o_, d, bound, "full",
-                        world_lo=wlo, world_hi=whi,
-                        list_len=L, chunk_blocks=cb, max_gens=mg,
-                    )
-                t = slope(pair_full)
+                if payload == "nee":
+                    def fn(o_, L=L, mg=mg):
+                        out = trace_pairs(
+                            dg, media9, o_ + (o_in - o), ldir, ldist, "nee",
+                            list_len=L, chunk_blocks=8, max_gens=mg,
+                        )
+                        return out
+                elif payload == "dist":
+                    def fn(o_, L=L, mg=mg):
+                        return trace_pairs(
+                            dg, media9, o_ + (o_in - o), d,
+                            jnp.full((65536,), 0.3, jnp.float32), "dist",
+                            world_lo=wlo, world_hi=whi,
+                            list_len=L, chunk_blocks=8, max_gens=mg,
+                        )
+                else:
+                    def fn(o_, L=L, mg=mg):
+                        return trace_pairs(
+                            dg, media9, o_, d, bound, "full",
+                            world_lo=wlo, world_hi=whi,
+                            list_len=L, chunk_blocks=8, max_gens=mg,
+                        )
+                t = slope(fn)
                 print(
-                    f"pair full L={L:2d} cb={cb:2d} gens<={mg:2d}: "
+                    f"pair {payload:4s} L={L:2d} gens<={mg:2d}: "
                     f"{t:8.2f} ms/trace", flush=True,
                 )
 

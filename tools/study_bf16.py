@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 256  # (ROWS, 128) working set per operand, both dtypes
+ROWS = 2048  # (ROWS, 128) working set per operand, both dtypes
 OPS = 24    # fused mul/add/min/max chain per repeat, ~an MT triangle test
 
 
@@ -72,20 +72,26 @@ def bench(dtype, repeats, seed):
     ).astype(dtype)
     a, b, c = mk(), mk(), mk()
 
-    fn = pl.pallas_call(
+    inner = pl.pallas_call(
         make_kernel(dtype, repeats),
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
     )
-    fn = jax.jit(fn)
-    out = fn(a, b, c)
-    jax.block_until_ready(out)
+
+    @jax.jit
+    def fn(a, b, c):
+        # Reduce to a scalar ON DEVICE so the timing fetch is one float:
+        # block_until_ready does NOT wait through the axon tunnel (NOTES
+        # round 4c) — every timed chip call must fetch a value.
+        return jnp.sum(inner(a, b, c).astype(jnp.float32))
+
+    float(fn(a, b, c))  # compile + warm
     best = 1e9
-    for _ in range(5):
+    for _ in range(10):
         # fresh jittered inputs each call: the axon tunnel memoizes
         # identical-input executions
-        a2 = a + jnp.asarray(rng.uniform(0, 1e-3), dtype)
+        a2 = a + jnp.asarray(float(rng.uniform(0, 1e-3)), dtype)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(a2, b, c))
+        float(fn(a2, b, c))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -93,7 +99,7 @@ def bench(dtype, repeats, seed):
 def main():
     print(f"working set: ({ROWS}, 128) x3 operands, ~9 vector ops/repeat")
     for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-        lo, hi = 64, 512
+        lo, hi = 2048, 16384
         t_lo = bench(dtype, lo, seed=1)
         t_hi = bench(dtype, hi, seed=2)
         slope = (t_hi - t_lo) / (hi - lo)  # s per repeat
