@@ -40,6 +40,9 @@ class RenderOptions:
     backend: str = "auto"  # auto | cluster (pallas) | bvh (threaded, XLA)
     engine: str = "auto"  # auto | mega (fused kernel) | wavefront (XLA loop) | binned (per-lane binned traces) | pair (cluster-major pair sweep)
     tir: str = "reflect"  # reflect | kill (reference-faithful TIR termination)
+    direct: str = "scatter"  # scatter (reference estimator) | analytic
+    # (closed-form in-scatter direct term: same converged image, lower
+    # variance in media, no extra RNG — ops/medium.analytic_direct_scale)
     rng: str = "parity"  # parity (sequential per pixel, ref volpath:575) | counter
     sample_chunk: int = 0  # samples per device pass; 0 = auto
     shard: str = "auto"  # auto | none — tile-shard over available devices
@@ -76,6 +79,9 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--backend\tauto (default) | cluster (Pallas TPU kernel) | bvh (XLA)
 \t--engine\tauto (default) | mega (fused path kernel) | wavefront (XLA loop) | binned (lane-binned traces) | pair (cluster-major pair sweep)
 \t--tir\treflect (default) | kill (reference-faithful TIR termination)
+\t--direct\tMedia direct-light estimator: scatter (default, reference
+\t\testimator) | analytic (closed-form expectation: same image in the
+\t\tlimit, less noise in media, same RNG stream)
 \t--shard\tauto (tile-shard across devices) or none
 \t--nee-bound\tMax media crossings along shadow rays (default: 4)
 \t--sample-chunk\tSamples per bounded device pass (default: 0 = auto)
@@ -164,6 +170,14 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
             v, i = take_value(i)
             if v is not None:
                 opt.tir = v
+        elif a == "--direct":
+            v, i = take_value(i)
+            if v is not None:
+                if v not in ("scatter", "analytic"):
+                    raise ValueError(
+                        f"--direct must be scatter|analytic, got {v!r}"
+                    )
+                opt.direct = v
         elif a == "--sample-chunk":
             v, i = take_value(i)
             if v is not None:

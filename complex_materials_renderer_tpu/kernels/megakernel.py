@@ -77,6 +77,7 @@ _OUT_MULT = np.uint32(277803737)
 _INV_U32 = np.float32(np.float32(1.0) / np.float32(4294967295.0))
 
 INV_FOURPI = np.float32(0.07957747154594767)
+LN_CLAMP = np.float32(9.210340371976184)  # ln(1e4): the <1e-4 transmittance clamp depth (ops/medium.py)
 INV_PI = np.float32(0.31830988618)
 PI = np.float32(3.14159265359)
 TWOPI = np.float32(6.28318530718)
@@ -322,6 +323,7 @@ def _make_kernel(
     S_OPQ: int = 0,
     debug: str = "",
     SF: int = SUPER_FACTOR,
+    analytic_direct: bool = False,
 ):
     """Build the megakernel body. All sizes static.
 
@@ -1006,6 +1008,19 @@ def _make_kernel(
             backface = diffuse & (_dot3(dx, dy, dz, nx, ny, nz) > 0.0)
             shade = diffuse & ~backface
 
+            if analytic_direct:
+                # The analytic direct term credits EVERY transmitted
+                # segment in a scatterable medium (min extinction channel
+                # > 0). Glass-like zero-extinction media stay excluded
+                # (can never scatter in the reference, volpath:487-513);
+                # under tir='kill' the reference's TIR lanes never reach
+                # the scatter branch, so they are excluded to keep the
+                # estimand identical.
+                density0 = _min3(ss_r + sa_r, ss_g + sa_g, ss_b + sa_b)
+                ad_gate = transmitted & (density0 > 0.0)
+                if tir_kill:
+                    ad_gate = ad_gate & ~tir1
+
             # --- distance-to-boundary trace (volpath:675-688) ---
             # NB a medium-shell-AABB clamp on entering lanes was tried
             # and REVERTED: it assumes closed shells, but the reference
@@ -1042,10 +1057,34 @@ def _make_kernel(
                 # discard — they draw no RNG and alter no state, so
                 # images are bit-identical to the separate walks.
                 may_scatter = transmitted & (cand < t_max_f)
+                # Under the analytic direct term every gated lane joins
+                # set B (declined-draw lanes in real media are spatially
+                # co-located with accepted ones, so the union footprint
+                # barely grows; zero-extinction glass stays excluded —
+                # the vessel -45% lesson above).
+                need_light = ad_gate if analytic_direct else may_scatter
                 (ldx, ldy, ldz, ldist, eff_b, lv_r, lv_g, lv_b) = nee_setup(
-                    px, py, pz, may_scatter | shade
+                    px, py, pz, need_light | shade
                 )
                 bound = jnp.minimum(cand * 1.00001 + 10.0 * t_min, t_max_f)
+                if analytic_direct:
+                    # The analytic in-scatter integral runs to the TRUE
+                    # boundary (capped at the transmittance-clamp depth
+                    # t* = ln(1e4)/density), so the candidate bound alone
+                    # is too short on scatter lanes. Raising the walk
+                    # bound to max(cand, t*) is semantically invisible
+                    # otherwise: a farther-found boundary changes only
+                    # seg_len's value where the lane scatters, which
+                    # only the analytic term reads.
+                    t_star = jnp.where(
+                        ad_gate,
+                        LN_CLAMP / jnp.maximum(density0, 1e-30) * 1.00001
+                        + 10.0 * t_min,
+                        0.0,
+                    )
+                    bound = jnp.minimum(
+                        jnp.maximum(bound, t_star), t_max_f
+                    )
                 dn = traverse(
                     px, py, pz, dax, day, daz,
                     jnp.where(transmitted, bound, 0.0), "dnee",
@@ -1057,6 +1096,16 @@ def _make_kernel(
                     bound = jnp.minimum(
                         cand * 1.00001 + 10.0 * t_min, t_max_f
                     )
+                    if analytic_direct:
+                        t_star = jnp.where(
+                            ad_gate,
+                            LN_CLAMP / jnp.maximum(density0, 1e-30)
+                            * 1.00001 + 10.0 * t_min,
+                            0.0,
+                        )
+                        bound = jnp.minimum(
+                            jnp.maximum(bound, t_star), t_max_f
+                        )
                     dt, dslot = traverse(
                         px, py, pz, dax, day, daz,
                         jnp.where(transmitted, bound, 0.0), "dist"
@@ -1089,10 +1138,46 @@ def _make_kernel(
             elif fused:
                 li_r, li_g, li_b = nee_resolve(
                     dn[2:2 + K_NEE], dn[2 + K_NEE], eff_b, ldist,
-                    lv_r, lv_g, lv_b, may_scatter | shade,
+                    lv_r, lv_g, lv_b, need_light | shade,
                 )
+            elif analytic_direct:
+                li_r, li_g, li_b = nee_march(px, py, pz, ad_gate | shade)
             else:
                 li_r, li_g, li_b = nee_march(px, py, pz, scatter | shade)
+
+            # NEE phase weight at outDir = 0 (volpath:698-699)
+            tmp_g = 1.0 + g * g
+            phase_nee = INV_FOURPI * (1.0 - g * g) / (tmp_g * jnp.sqrt(tmp_g))
+            if analytic_direct:
+                # Closed-form expectation of sigma_s*T(t)/p(t) over the
+                # free-flight draw, credited on every gated segment —
+                # same converged image as the scatter-event estimator
+                # (the NEE point is the boundary hit either way), no new
+                # RNG (ops/medium.analytic_direct_scale; the t_cap term
+                # reproduces the reference's <1e-4 transmittance clamp,
+                # volpath:250-253).
+                t_cap = jnp.minimum(
+                    seg_len, LN_CLAMP / jnp.maximum(density0, 1e-30)
+                )
+
+                def _ad(ss, sa):
+                    ext = ss + sa
+                    return (
+                        ss
+                        * (1.0 - jnp.exp(-ext * t_cap))
+                        / jnp.maximum(ext, 1e-30)
+                    )
+
+                w_ad = phase_nee
+                ra_r = ra_r + jnp.where(
+                    ad_gate, th_r * _ad(ss_r, sa_r) * li_r * w_ad, 0.0
+                )
+                ra_g = ra_g + jnp.where(
+                    ad_gate, th_g * _ad(ss_g, sa_g) * li_g * w_ad, 0.0
+                )
+                ra_b = ra_b + jnp.where(
+                    ad_gate, th_b * _ad(ss_b, sa_b) * li_b * w_ad, 0.0
+                )
 
             # --- scatter branch (volpath:693-710) ---
             safe_ps = jnp.where(prob_success > 0.0, prob_success, 1.0)
@@ -1104,12 +1189,10 @@ def _make_kernel(
             th_g = jnp.where(scatter, th_g * sc_g, th_g)
             th_b = jnp.where(scatter, th_b * sc_b, th_b)
 
-            # NEE phase weight at outDir = 0 (volpath:698-699)
-            tmp_g = 1.0 + g * g
-            phase_nee = INV_FOURPI * (1.0 - g * g) / (tmp_g * jnp.sqrt(tmp_g))
-            ra_r = ra_r + jnp.where(scatter, th_r * li_r * phase_nee, 0.0)
-            ra_g = ra_g + jnp.where(scatter, th_g * li_g * phase_nee, 0.0)
-            ra_b = ra_b + jnp.where(scatter, th_b * li_b * phase_nee, 0.0)
+            if not analytic_direct:
+                ra_r = ra_r + jnp.where(scatter, th_r * li_r * phase_nee, 0.0)
+                ra_g = ra_g + jnp.where(scatter, th_g * li_g * phase_nee, 0.0)
+                ra_b = ra_b + jnp.where(scatter, th_b * li_b * phase_nee, 0.0)
 
             rng, r_ph1 = _rng_next(rng, scatter)
             rng, r_ph2 = _rng_next(rng, scatter)
@@ -1303,6 +1386,7 @@ def fresh_state(o: jnp.ndarray, d: jnp.ndarray, rng: jnp.ndarray) -> MegaState:
     jax.jit,
     static_argnames=(
         "background", "max_depth", "rr_depth", "nee_max_media", "tir_kill",
+        "analytic_direct",
         "max_iters", "debug",
     ),
 )
@@ -1320,6 +1404,7 @@ def trace_paths_mega(
     max_iters: int | None = None,
     live_blocks: jnp.ndarray | None = None,
     debug: str = "",
+    analytic_direct: bool = False,
 ) -> MegaState:
     """Advance R paths up to ``max_iters`` bounce iterations in ONE kernel.
 
@@ -1389,6 +1474,7 @@ def trace_paths_mega(
         S_OPQ=grid.num_opaque_supers,
         debug=debug,
         SF=grid.super_factor,
+        analytic_direct=analytic_direct,
     )
     smem = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape), memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -123,6 +123,48 @@ def free_flight_candidate(rand, sigma_s, sigma_a):
     return jnp.where(draw & (density > 0.0), exp_sample, NO_INTERACTION)
 
 
+LN_CLAMP = 9.210340371976184  # ln(1e4): the <1e-4 transmittance clamp depth
+
+
+def analytic_direct_scale(sigma_s, sigma_a, dist):
+    """Closed-form expectation of the scatter branch's direct-light
+    throughput factor: ``E[sigma_s * T(t) / p_success(t)]`` over the
+    free-flight draw, per channel.
+
+    The reference evaluates NEE from the BOUNDARY hit point
+    (volpath:697), not the scatter point, so the sampled depth ``t``
+    enters the direct term only through ``sigma_s * T(t)/p(t)`` — whose
+    expectation over sample_distance's min-channel exponential is the
+    analytic in-scatter integral
+
+        A_c = sigma_s_c * (1 - exp(-sigma_t_c * t_cap)) / sigma_t_c,
+        t_cap = min(dist, ln(1e4)/density),
+
+    where ``t_cap`` reproduces the reference's transmittance zero-clamp
+    (max-channel T < 1e-4 <=> t > ln(1e4)/density, volpath:250-253 via
+    sample_distance above). Replacing the stochastic factor with A and
+    crediting EVERY transmitted segment (not only scatter events)
+    estimates the identical image — quirks included — with the
+    scatter-or-not Bernoulli and the t-jitter removed from the direct
+    term, and draws NO RNG. Lanes whose min extinction channel is zero
+    can never scatter in the reference (volpath:487-513) and get 0.
+
+    Returns ``(gate, scale3)``: gate = density > 0, scale3 = A.
+    """
+    extinction = sigma_s + sigma_a
+    density = jnp.min(extinction, axis=-1)
+    gate = density > 0.0
+    t_cap = jnp.minimum(
+        jnp.asarray(dist), LN_CLAMP / jnp.maximum(density, 1e-30)
+    )
+    a = (
+        sigma_s
+        * (1.0 - jnp.exp(-extinction * t_cap[..., None]))
+        / jnp.maximum(extinction, 1e-30)
+    )
+    return gate, jnp.where(gate[..., None], a, 0.0)
+
+
 class DistanceSample(NamedTuple):
     success: jnp.ndarray  # (R,) bool — scatter event inside the segment
     t: jnp.ndarray  # (R,) sampled depth (== dist on failure)

@@ -63,6 +63,7 @@ def render_beauty_sharded(
     full_resolution=None,
     sample_offset: int = 0,
     engine: str = "wavefront",
+    direct: str = "scatter",
 ):
     """Render (H, W, 3), rows sharded over 'tile', samples over 'sample'.
 
@@ -126,6 +127,7 @@ def render_beauty_sharded(
             row_offset=row_start[0] + row_offset,
             full_resolution=full_resolution,
             sample_offset=sample_start[0] + jnp.uint32(sample_offset),
+            direct=direct,
         )
         # Average partial framebuffers over the sample axis.
         img = jax.lax.pmean(img, axis_name="sample")

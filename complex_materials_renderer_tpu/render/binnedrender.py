@@ -32,7 +32,7 @@ from ..kernels.cluster_test import NEE_DUP_SPARE, nee_list_len
 from ..kernels.megakernel import MegaState
 from ..kernels.pallas_trace import DeviceClusterGrid, ShadedHit
 from ..ops import rng as rng_ops
-from ..ops.medium import free_flight_candidate, lookup_index
+from ..ops.medium import LN_CLAMP, free_flight_candidate, lookup_index
 from .hitinfo import SceneArrays
 from .integrator import T_MAX, T_MIN, Lights, Tracer, _State, _bounce
 
@@ -109,6 +109,7 @@ def make_binned_tracer(
     nee_max_media: int,
     list_len: int = 8,
     cap_iters: int = 12,
+    direct_mode: str = "scatter",
 ) -> Tracer:
     wlo, whi = scene.world_lo, scene.world_hi
     K = nee_list_len(nee_max_media)
@@ -145,6 +146,22 @@ def make_binned_tracer(
             _ns, rand_d = rng_ops.next_float_masked(rngs, transmitted)
             cand = free_flight_candidate(rand_d, med.sigma_s, med.sigma_a)
             bound = jnp.minimum(cand * 1.00001 + 10.0 * T_MIN, T_MAX)
+            if direct_mode == "analytic":
+                # The analytic in-scatter integral needs the TRUE
+                # boundary up to the transmittance-clamp depth
+                # t* = ln(1e4)/density: raise the bound to max(cand, t*)
+                # (invisible otherwise — a farther boundary changes only
+                # seg_len where the lane scatters, which only the
+                # analytic term reads). See kernels/megakernel.py.
+                ext = med.sigma_s + med.sigma_a
+                density = jnp.min(ext, axis=-1)
+                t_star = jnp.where(
+                    density > 0.0,
+                    LN_CLAMP / jnp.maximum(density, 1e-30) * 1.00001
+                    + 10.0 * T_MIN,
+                    0.0,
+                )
+                bound = jnp.minimum(jnp.maximum(bound, t_star), T_MAX)
             bound = jnp.where(transmitted, bound, 0.0)
             dt, dslot = trace_binned(
                 grid, media9, position, dir_after, bound, "dist",
@@ -203,13 +220,15 @@ def make_binned_kern(
     tir: str,
     list_len: int = 8,
     cap_iters: int = 12,
+    direct: str = "scatter",
 ):
     """A drop-in for megarender's per-pass kernel: advance every live
     lane up to ``max_iters`` bounces (``live_blocks`` is accepted for
     interface parity and unused — the binned tracer compacts internally
     by sorting lanes with work first)."""
     tracer = make_binned_tracer(
-        grid, scene, lights, media9, nee_max_media, list_len, cap_iters
+        grid, scene, lights, media9, nee_max_media, list_len, cap_iters,
+        direct_mode=direct,
     )
 
     def kern(state: MegaState, max_iters: int = 1, live_blocks=None):
@@ -229,7 +248,7 @@ def make_binned_kern(
             s, it = c
             s = _bounce(
                 s, scene, None, lights, max_depth, rr_depth,
-                nee_max_media, tir, tracer=tracer,
+                nee_max_media, tir, tracer=tracer, direct=direct,
             )
             return s, it + 1
 

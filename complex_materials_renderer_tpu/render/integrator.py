@@ -40,7 +40,12 @@ from ..ops import rng as rng_ops
 from ..ops.camera import Camera, generate_rays
 from ..ops.diffuse import REFLECTANCE, diffuse_eval, diffuse_sample
 from ..ops.fresnel import fresnel_r, reflect, refract
-from ..ops.medium import eval_transmittance, lookup, sample_distance
+from ..ops.medium import (
+    analytic_direct_scale,
+    eval_transmittance,
+    lookup,
+    sample_distance,
+)
 from ..ops.phase import g_mean, hg_eval_zero, hg_sample
 from .hitinfo import SceneArrays, shade_color
 
@@ -291,6 +296,7 @@ def _bounce(
     nee_max_media: int,
     tir: str = "reflect",
     tracer: Tracer | None = None,
+    direct: str = "scatter",
 ) -> _State:
     org, direction, thr, rad, rngs, depth, alive, lane_id = state
     if tracer is None:
@@ -340,8 +346,35 @@ def _bounce(
     shade = diffuse & ~backface
 
     # --- shared NEE (volpath:697 for scatter, :773 for diffuse; draws no
-    # randoms; the medium argument is dead in the reference) ---
-    light = tracer.direct(position, scatter | shade)
+    # randoms; the medium argument is dead in the reference).
+    # direct='analytic': the NEE point is the BOUNDARY hit either way
+    # (reference quirk), so the direct term's free-flight factor
+    # sigma_s*T(t)/p(t) is replaced by its closed-form expectation and
+    # credited on EVERY transmitted segment in a scatterable medium —
+    # same converged image, no extra RNG (ops/medium.py
+    # analytic_direct_scale). Under tir='kill' the reference's TIR lanes
+    # never reach the scatter branch, so they are excluded to keep the
+    # estimand identical. ---
+    analytic = direct == "analytic"
+    if analytic:
+        ad_gate, ad_scale = analytic_direct_scale(
+            med.sigma_s, med.sigma_a, seg_len
+        )
+        ad_gate = transmitted & ad_gate
+        if kill_tir:
+            ad_gate = ad_gate & ~tir1
+        light = tracer.direct(position, ad_gate | shade)
+    else:
+        light = tracer.direct(position, scatter | shade)
+
+    g = g_mean(med.g)
+    phase_nee = hg_eval_zero(g)  # outDir still vec3(0) at eval time
+    if analytic:
+        rad = rad + jnp.where(
+            ad_gate[:, None],
+            thr * ad_scale * light * phase_nee[:, None],
+            0.0,
+        )
 
     # --- scatter branch (volpath:693-710) ---
     safe_ps = jnp.where(ms.prob_success > 0.0, ms.prob_success, 1.0)
@@ -349,11 +382,10 @@ def _bounce(
     scatter_scale = jnp.where((ms.prob_success > 0.0)[:, None], scatter_scale, 0.0)
     thr = jnp.where(scatter[:, None], thr * scatter_scale, thr)
 
-    g = g_mean(med.g)
-    phase_nee = hg_eval_zero(g)  # outDir still vec3(0) at eval time
-    rad = rad + jnp.where(
-        scatter[:, None], thr * light * phase_nee[:, None], 0.0
-    )
+    if not analytic:
+        rad = rad + jnp.where(
+            scatter[:, None], thr * light * phase_nee[:, None], 0.0
+        )
 
     rngs, r_ph1 = rng_ops.next_float_masked(rngs, scatter)
     rngs, r_ph2 = rng_ops.next_float_masked(rngs, scatter)
@@ -434,6 +466,7 @@ def _bounce(
         "return_rng",
         "compact",
         "tir",
+        "direct",
     ),
 )
 def render_beauty(
@@ -455,6 +488,7 @@ def render_beauty(
     return_rng=False,
     compact: bool = True,
     tir: str = "reflect",
+    direct: str = "scatter",
 ):
     """Render an (H, W, 3) tile of the beauty pass.
 
@@ -512,7 +546,8 @@ def render_beauty(
 
         def step(s):
             s = _bounce(
-                s, scene, bvh, lights, max_depth, rr_depth, nee_max_media, tir
+                s, scene, bvh, lights, max_depth, rr_depth, nee_max_media,
+                tir, direct=direct,
             )
             # Measured: re-sorting every bounce beats both never sorting
             # and threshold-gated sorting (the lax.cond materialization

@@ -162,6 +162,7 @@ def _partition_live(state: MegaState, lane: jnp.ndarray, scene,
         "trace_engine",
         "binned_list",
         "binned_cap",
+        "direct",
     ),
 )
 def render_beauty_mega(
@@ -189,6 +190,7 @@ def render_beauty_mega(
     trace_engine: str = "mega",
     binned_list: int = 8,
     binned_cap: int = 12,
+    direct: str = "scatter",
 ):
     """Render an (H, W, 3) tile of the beauty pass with the megakernel.
 
@@ -250,7 +252,7 @@ def render_beauty_mega(
             grid, scene, lights, media9,
             max_depth=max_depth, rr_depth=rr_depth,
             nee_max_media=nee_max_media, tir=tir,
-            list_len=binned_list, cap_iters=binned_cap,
+            list_len=binned_list, cap_iters=binned_cap, direct=direct,
         )
     elif trace_engine == "pair":
         # Cluster-major pair sweep with XLA physics — one global sort
@@ -262,7 +264,7 @@ def render_beauty_mega(
         kern = make_pair_kern(
             grid, scene, lights, media9,
             max_depth=max_depth, rr_depth=rr_depth,
-            nee_max_media=nee_max_media, tir=tir,
+            nee_max_media=nee_max_media, tir=tir, direct=direct,
         )
     else:
         kern = partial(
@@ -275,6 +277,7 @@ def render_beauty_mega(
             rr_depth=rr_depth,
             nee_max_media=nee_max_media,
             tir_kill=(tir == "kill"),
+            analytic_direct=(direct == "analytic"),
             debug=debug,
         )
 

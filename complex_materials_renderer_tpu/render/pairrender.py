@@ -35,7 +35,7 @@ from ..kernels.pallas_trace import (
     trace_shaded_clusters,
 )
 from ..ops import rng as rng_ops
-from ..ops.medium import free_flight_candidate
+from ..ops.medium import LN_CLAMP, free_flight_candidate
 from .binnedrender import _march_klist
 from .hitinfo import SceneArrays
 from .integrator import T_MAX, T_MIN, Lights, Tracer, _State, _bounce
@@ -50,6 +50,7 @@ def make_pair_tracer(
     list_len: int = 12,
     chunk_blocks: int = 8,
     closest_mode: str = "shared",
+    direct_mode: str = "scatter",
 ) -> Tracer:
     """HYBRID trace set (the measured optimum): the main closest-hit
     trace keeps the BLOCK-SHARED cluster walk — camera/bounce rays ride
@@ -122,6 +123,22 @@ def make_pair_tracer(
             _ns, rand_d = rng_ops.next_float_masked(rngs, transmitted)
             cand = free_flight_candidate(rand_d, med.sigma_s, med.sigma_a)
             bound = jnp.minimum(cand * 1.00001 + 10.0 * T_MIN, T_MAX)
+            if direct_mode == "analytic":
+                # The analytic in-scatter integral needs the TRUE
+                # boundary up to the transmittance-clamp depth
+                # t* = ln(1e4)/density: raise the bound to max(cand, t*)
+                # (invisible otherwise — a farther boundary changes only
+                # seg_len where the lane scatters, which only the
+                # analytic term reads). See kernels/megakernel.py.
+                ext = med.sigma_s + med.sigma_a
+                density = jnp.min(ext, axis=-1)
+                t_star = jnp.where(
+                    density > 0.0,
+                    LN_CLAMP / jnp.maximum(density, 1e-30) * 1.00001
+                    + 10.0 * T_MIN,
+                    0.0,
+                )
+                bound = jnp.minimum(jnp.maximum(bound, t_star), T_MAX)
             bound = jnp.where(transmitted, bound, 0.0)
             dt, dslot = trace_pairs(
                 grid, media9, position, dir_after, bound, "dist",
@@ -187,13 +204,15 @@ def make_pair_kern(
     tir: str,
     list_len: int = 12,
     chunk_blocks: int = 8,
+    direct: str = "scatter",
 ):
     """A drop-in for megarender's per-pass kernel: advance every live
     lane up to ``max_iters`` bounces (``live_blocks`` is accepted for
     interface parity and unused — the pair sweep's work scales with
     listed pairs, and dead lanes list nothing)."""
     tracer = make_pair_tracer(
-        grid, scene, lights, media9, nee_max_media, list_len, chunk_blocks
+        grid, scene, lights, media9, nee_max_media, list_len, chunk_blocks,
+        direct_mode=direct,
     )
 
     def kern(state: MegaState, max_iters: int = 1, live_blocks=None):
@@ -208,7 +227,7 @@ def make_pair_kern(
         def bounce_at(s):
             return _bounce(
                 s, scene, None, lights, max_depth, rr_depth,
-                nee_max_media, tir, tracer=tracer,
+                nee_max_media, tir, tracer=tracer, direct=direct,
             )
 
         # TWO-WIDTH bounce: the pair machinery's glue (flat key sorts,

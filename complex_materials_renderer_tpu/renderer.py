@@ -263,6 +263,7 @@ class Renderer:
                             full_resolution=resolution,
                             sample_offset=done,
                             engine=engine,
+                            direct=opt.direct,
                         )
                         acc[row0 : row0 + band_h] += np.asarray(
                             jax.block_until_ready(img)
@@ -308,9 +309,11 @@ class Renderer:
                 # by compiles. The dynamic live_blocks mode compiles ONE
                 # kernel; large renders amortize the static schedule.
                 knobs["schedule_mode"] = "all"
-            beauty_fn = partial(render_beauty_mega, tir=opt.tir, **knobs)
+            beauty_fn = partial(
+                render_beauty_mega, tir=opt.tir, direct=opt.direct, **knobs
+            )
         else:
-            beauty_fn = partial(render_beauty, tir=opt.tir)
+            beauty_fn = partial(render_beauty, tir=opt.tir, direct=opt.direct)
 
         chunk = opt.sample_chunk or _auto_sample_chunk(opt.width, opt.height)
         chunk = max(1, min(chunk, opt.num_samples))

@@ -48,6 +48,10 @@ def test_extension_flags():
     opt = parse_argv(["--cluster-size", "32", "--partition", "media"])
     assert opt.cluster_size == 32
     assert opt.partition == "media"
+    assert parse_argv([]).direct == "scatter"
+    assert parse_argv(["--direct", "analytic"]).direct == "analytic"
+    with pytest.raises(ValueError):
+        parse_argv(["--direct", "analytical"])
 
 
 def test_partition_auto_resolution():

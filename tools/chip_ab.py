@@ -48,6 +48,9 @@ def main() -> None:
     ap.add_argument("--quads", default="auto", choices=["auto", "off"],
                     help="quad slot merging (accel/clusters.pair_quads)")
     ap.add_argument("--engine", default="mega")
+    ap.add_argument("--direct", default="scatter",
+                    choices=["scatter", "analytic"],
+                    help="media direct-light estimator (config.py)")
     ap.add_argument("--rng", default="counter")
     ap.add_argument("--nee-bound", type=int, default=0, dest="nee_bound",
                     help="max media crossings on shadow rays (0 = default)")
@@ -78,6 +81,7 @@ def main() -> None:
     opt.rng = args.rng
     opt.shard = "none"
     opt.engine = args.engine
+    opt.direct = args.direct
     if args.nee_bound:
         opt.nee_max_media = args.nee_bound
 
@@ -98,7 +102,8 @@ def main() -> None:
         f"{os.path.basename(opt.obj_path)} {args.res}@{args.spp} "
         f"debug='{args.debug}' part={args.partition} w={args.width} "
         f"sf={args.super_factor} quads={args.quads} "
-        f"engine={args.engine}: {mp:.3f} Mpaths/s mean={img.mean():.5f}",
+        f"engine={args.engine} direct={args.direct}: "
+        f"{mp:.3f} Mpaths/s mean={img.mean():.5f}",
         flush=True,
     )
     if args.save:
