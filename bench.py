@@ -216,12 +216,11 @@ def main() -> None:
     enable_persistent_cache()
     primary = _bench_scene("scenes/showcase.obj", 512, 512, 16)
 
-    # Side configs run a 4-width phase schedule (~5 min of Mosaic compile
-    # each instead of ~10 for the default 7 widths, at ~90% steady-state)
-    # so the whole bench stays well under the driver's patience. The
-    # primary keeps the fastest (default) schedule; cup still auto-picks
-    # the single-compile dynamic mode by cluster count.
-    os.environ["CMR_MEGA_SCHED"] = "1:1,4:1,16:2,64:32"
+    # Side configs run the DEFAULT schedule — the numbers reported here
+    # are exactly the steady-state a default user gets (round-4 verdict:
+    # a bench-private CMR_MEGA_SCHED under-reported them ~10%). The
+    # compile cost of the 7-width static schedule is a once-per-machine
+    # cost under the persistent cache.
     configs = {}
     for name, path, res, spp in [
         ("isobox", "scenes/isobox.obj", 256, 8),
@@ -235,7 +234,6 @@ def main() -> None:
             configs[name] = round(_bench_scene(path, res, res, spp), 3)
         except Exception as e:  # a failing side config must not kill the bench
             configs[name] = f"error: {type(e).__name__}"
-    os.environ.pop("CMR_MEGA_SCHED", None)
 
     try:
         golden = _golden_rmse()

@@ -181,6 +181,17 @@ def pair_quads(
     n = len(tris)
     tris = np.asarray(tris, np.float32)
     mats = np.asarray(mats, np.int32)
+    if n == 0:
+        # tris.max() below raises on an empty array; an empty scene pairs
+        # to an empty primitive set.
+        empty3 = np.zeros((0, 4, 3), np.float32)
+        return (
+            empty3,
+            np.zeros((0, 2), np.float32),
+            np.zeros((0,), np.int32),
+            np.zeros((0,), np.int32),
+            np.zeros((0, 3), np.float32),
+        )
 
     # --- candidate edges: (3n, ...) with a canonical endpoint order ---
     va = tris  # (n, 3, 3): edge k runs v[k] -> v[(k+1)%3]
@@ -233,6 +244,13 @@ def pair_quads(
     a = (g22 * b1 - g12 * b2) * inv_det
     b = (g11 * b2 - g12 * b1) * inv_det
 
+    # Planarity tolerance: hits on the second triangle of a merged pair
+    # are snapped to the FIRST triangle's plane, so rel_tol bounds the
+    # worst-case hit-position perturbation at rel_tol * extent — kept at
+    # 1e-5 (on the shipped scenes: <= ~1e-4 world units, the same order
+    # as the integrator's T_MIN=1e-4 surface epsilon, and two orders
+    # below any media mean free path). Slightly-bent "quads" beyond the
+    # tolerance stay as two exact triangles.
     extent = float(np.max(tris.max(axis=(0, 1)) - tris.min(axis=(0, 1))))
     tol = rel_tol * max(extent, 1e-20)
     resid = w - a[:, None] * e1 - b[:, None] * e2

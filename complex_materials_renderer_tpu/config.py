@@ -43,7 +43,9 @@ class RenderOptions:
     direct: str = "scatter"  # scatter (reference estimator) | analytic
     # (closed-form in-scatter direct term: same converged image, lower
     # variance in media, no extra RNG — ops/medium.analytic_direct_scale)
-    rng: str = "parity"  # parity (sequential per pixel, ref volpath:575) | counter
+    rng: str = "parity"  # parity (sequential per pixel, ref volpath:575)
+    # | counter (hashed per-(pixel,sample)) | ld (Owen-scrambled Sobol,
+    # lowest-variance mode — ops/rng.py)
     sample_chunk: int = 0  # samples per device pass; 0 = auto
     shard: str = "auto"  # auto | none — tile-shard over available devices
     leaf_size: int = 4  # BVH max triangles per leaf
@@ -75,7 +77,9 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--aov\tOutput channel: beauty (default), depth, normal, topology
 \t--max-depth\tMaximum path depth (default: 32)
 \t--rr-depth\tPath depth after which russian roulette starts (default: 16)
-\t--rng\tparity (reference-matching PCG stream) or counter (sample-parallel)
+\t--rng\tparity (reference-matching PCG stream) | counter (decorrelated,
+\t\tsample-parallel) | ld (Owen-scrambled Sobol: same image in the
+\t\tlimit, converges fastest; sample-parallel)
 \t--backend\tauto (default) | cluster (Pallas TPU kernel) | bvh (XLA)
 \t--engine\tauto (default) | mega (fused path kernel) | wavefront (XLA loop) | binned (lane-binned traces) | pair (cluster-major pair sweep)
 \t--tir\treflect (default) | kill (reference-faithful TIR termination)
@@ -157,6 +161,10 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
         elif a == "--rng":
             v, i = take_value(i)
             if v is not None:
+                if v not in ("parity", "counter", "ld"):
+                    raise ValueError(
+                        f"--rng must be parity|counter|ld, got {v!r}"
+                    )
                 opt.rng = v
         elif a == "--backend":
             v, i = take_value(i)

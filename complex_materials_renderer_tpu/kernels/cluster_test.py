@@ -206,12 +206,25 @@ def make_cluster_tester(
             qb1_j = 1.0 - qb_j
 
             def inside(uu, vv):
-                """Quad-generalized barycentric acceptance."""
+                """Quad-generalized barycentric acceptance.
+
+                The edge tolerance scales with the test's threshold
+                (``qb*(1+eps)``, not ``qb+eps``): with the raw ``+eps``
+                form a plain triangle (qa=qb=0.5) accepted u+v <=
+                1+2*eps — double the historical triangle tolerance, so
+                an unpaired build was NOT decision-identical to the
+                pre-quad kernel (knife-edge hits could flip vs the bvh
+                backend). Scaled, the triangle case is bit-equivalent
+                to ``u+v <= 1+eps``: multiplying both sides of an fp
+                comparison by the exact power of two 0.5 commutes with
+                rounding, so fl(0.5u+0.5v) <= 0.5*fl(1+eps) iff
+                fl(u+v) <= fl(1+eps).
+                """
                 return (
                     (uu >= -eps)
                     & (vv >= -eps)
-                    & (uu * qb_j + vv * qa1_j <= qb_j + eps)
-                    & (uu * qb1_j + vv * qa_j <= qa_j + eps)
+                    & (uu * qb_j + vv * qa1_j <= qb_j * (1.0 + eps))
+                    & (uu * qb1_j + vv * qa_j <= qa_j * (1.0 + eps))
                 )
 
             # Classic Moller-Trumbore: one triangle vs 1024 rays. Two

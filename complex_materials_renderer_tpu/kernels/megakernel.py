@@ -109,6 +109,47 @@ def _rng_next(state, mask):
     return jnp.where(mask, ns, state), value
 
 
+# --- ld mode: Owen-scrambled Sobol draws (ops/rng.py, same constructions
+# bit-for-bit; see its module docstring for the sampler design) ---
+
+_GOLD = np.uint32(0x9E3779B9)
+DRAWS_PER_BOUNCE = 8  # rng draw sites per bounce iteration (sites 0-7)
+
+
+def _pcg_hash(x):
+    """One PCG step+output as a hash (ops/rng.py _output(step(x)))."""
+    ns = x * _MULT + _INC
+    shift = (ns >> jnp.uint32(28)) + jnp.uint32(4)
+    word = ((ns >> shift) ^ ns) * _OUT_MULT
+    return (word >> jnp.uint32(22)) ^ word
+
+
+def _reverse_bits32(x):
+    x = ((x & jnp.uint32(0x55555555)) << jnp.uint32(1)) | (
+        (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+    )
+    x = ((x & jnp.uint32(0x33333333)) << jnp.uint32(2)) | (
+        (x >> jnp.uint32(2)) & jnp.uint32(0x33333333)
+    )
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) | (
+        (x >> jnp.uint32(4)) & jnp.uint32(0x0F0F0F0F)
+    )
+    x = ((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) | (
+        (x >> jnp.uint32(8)) & jnp.uint32(0x00FF00FF)
+    )
+    return (x << jnp.uint32(16)) | (x >> jnp.uint32(16))
+
+
+def _lk_hash(x, seed):
+    """Owen-class permutation (ops/rng.py _lk_hash, Burley JCGT 2020)."""
+    x = x ^ (x * jnp.uint32(0x3D20ADEA))
+    x = x + seed
+    x = x * ((seed >> jnp.uint32(16)) | jnp.uint32(1))
+    x = x ^ (x * jnp.uint32(0x05526C56))
+    x = x ^ (x * jnp.uint32(0x53A22864))
+    return x
+
+
 def _norm3(x, y, z):
     n = jnp.sqrt(x * x + y * y + z * z)
     inv = 1.0 / jnp.maximum(n, 1e-20)
@@ -324,8 +365,16 @@ def _make_kernel(
     debug: str = "",
     SF: int = SUPER_FACTOR,
     analytic_direct: bool = False,
+    ld: bool = False,
 ):
     """Build the megakernel body. All sizes static.
+
+    ``ld``: draw randoms from the Owen-scrambled Sobol sampler instead
+    of the per-lane PCG stream (ops/rng.py 'ld' mode). The rng tile then
+    carries the owen-shuffled SAMPLE INDEX (constant), the aux tile the
+    per-lane pixel hash, and the dimension is the lockstep draw-site
+    counter ``dim0 + iteration*DRAWS_PER_BOUNCE + site`` — a traced
+    SCALAR, so direction rows come from SMEM without per-lane gathers.
 
     ``max_iters`` caps the per-block bounce loop: each block advances its
     lanes at most that many bounce iterations (or until all die). The
@@ -357,13 +406,16 @@ def _make_kernel(
         media_ref,  # SMEM (max(M,1), 9): matid, ss rgb (scaled), sa rgb (scaled), g_mean, ior
         misc_ref,  # SMEM (16,): light pos/intensity, pads, scene AABB lo/hi
         lb_ref,  # SMEM (1,) int32: number of leading blocks to process
+        dim_ref,  # SMEM (1,) int32: ld-mode dimension base (0 when not ld)
+        sob_ref,  # SMEM (max_iters*8 | 1, 30) int32 Sobol direction rows
         runs_ref,  # VMEM (C*subs, row_w) run-major triangle rows
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM (B*8, 128)
         th_r_ref, th_g_ref, th_b_ref,  # VMEM throughput
         ra_r_ref, ra_g_ref, ra_b_ref,  # VMEM radiance
-        rng_ref,  # VMEM (B*8, 128) uint32
+        rng_ref,  # VMEM (B*8, 128) uint32 (ld: owen-shuffled sample index)
         depth_ref,  # VMEM int32
         alive_ref,  # VMEM int32 (0/1)
+        aux_ref,  # VMEM uint32: ld-mode pixel hash (constant; zeros otherwise)
         ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,  # VMEM out: ray state
         th_r_o, th_g_o, th_b_o,  # VMEM out
         rad_r_ref, rad_g_ref, rad_b_ref,  # VMEM out
@@ -914,10 +966,34 @@ def _make_kernel(
             tr_b = jnp.where(dark, 0.0, tr_b)
             return lv_r * tr_r, lv_g * tr_g, lv_b * tr_b
 
-        def bounce(st):
+        def make_draw(it, PH):
+            """Per-iteration rng draw: masked PCG (default) or lockstep
+            Owen-scrambled Sobol (ld — see module helpers / ops/rng.py).
+            Sites are numbered 0-7 in draw order; ld values ignore the
+            mask (the dimension advances lockstep, unused values are
+            simply never consumed)."""
+            if not ld:
+                return lambda rng, mask, site: _rng_next(rng, mask)
+
+            def draw(s_idx, mask, site):
+                rbase = it * DRAWS_PER_BOUNCE + site
+                v = jnp.zeros_like(s_idx)
+                for j in range(30):
+                    cj = sob_ref[rbase, j].astype(jnp.uint32)  # wrap == bitcast
+                    bit = (s_idx >> jnp.uint32(j)) & jnp.uint32(1)
+                    v = v ^ jnp.where(bit != 0, cj, jnp.uint32(0))
+                dim_abs = (dim_ref[0] + rbase).astype(jnp.uint32)
+                key = _pcg_hash(PH ^ (dim_abs * _GOLD))
+                word = _reverse_bits32(_lk_hash(_reverse_bits32(v), key))
+                return s_idx, _u32_to_f32(word) * _INV_U32
+
+            return draw
+
+        def bounce(st, it, PH):
             (ox, oy, oz, dx, dy, dz, th_r, th_g, th_b,
              ra_r, ra_g, ra_b, rng, depth, alive_i) = st
             alive = alive_i > 0
+            draw = make_draw(it, PH)
 
             eff = jnp.where(alive, t_max_f, 0.0)
             if "notrace" in debug:
@@ -979,7 +1055,7 @@ def _make_kernel(
             (rf1x, rf1y, rf1z, td1x, td1y, td1z, r1, tir1) = _boundary_event(
                 dx, dy, dz, nx, ny, nz, ior
             )
-            rng, rand_f = _rng_next(rng, has_med)
+            rng, rand_f = draw(rng, has_med, 0)
             do_reflect = has_med & (rand_f < r1)
             transmitted = has_med & ~do_reflect
 
@@ -999,7 +1075,7 @@ def _make_kernel(
             # inside a dense medium then barely traverses — if no boundary
             # exists within the candidate, the sampled collision stands
             # (succ = cand < seg_len is true for any farther boundary).
-            rng, rand_d = _rng_next(rng, transmitted)
+            rng, rand_d = draw(rng, transmitted, 1)
             cand = _free_flight_candidate(
                 rand_d, ss_r, ss_g, ss_b, sa_r, sa_g, sa_b
             )
@@ -1194,8 +1270,8 @@ def _make_kernel(
                 ra_g = ra_g + jnp.where(scatter, th_g * li_g * phase_nee, 0.0)
                 ra_b = ra_b + jnp.where(scatter, th_b * li_b * phase_nee, 0.0)
 
-            rng, r_ph1 = _rng_next(rng, scatter)
-            rng, r_ph2 = _rng_next(rng, scatter)
+            rng, r_ph1 = draw(rng, scatter, 2)
+            rng, r_ph2 = draw(rng, scatter, 3)
             hgx, hgy, hgz = _hg_sample(-dax, -day, -daz, g, r_ph1, r_ph2)
             # origin advanced along the *scattered* direction (volpath:708-709)
             ox = jnp.where(scatter, px + hgx * ms_t, ox)
@@ -1222,7 +1298,7 @@ def _make_kernel(
             (rf2x, rf2y, rf2z, td2x, td2y, td2z, r2, tir2) = _boundary_event(
                 dax, day, daz, nx, ny, nz, ior
             )
-            rng, rand_f2 = _rng_next(rng, pass_med)
+            rng, rand_f2 = draw(rng, pass_med, 4)
             pd_reflect = rand_f2 < r2
             pdx = jnp.where(pd_reflect, rf2x, td2x)
             pdy = jnp.where(pd_reflect, rf2y, td2y)
@@ -1235,8 +1311,8 @@ def _make_kernel(
             ndz = jnp.where(pass_med, pdz, ndz)
 
             # --- diffuse branch (volpath:758-779) ---
-            rng, r_d1 = _rng_next(rng, shade)
-            rng, r_d2 = _rng_next(rng, shade)
+            rng, r_d1 = draw(rng, shade, 5)
+            rng, r_d2 = draw(rng, shade, 6)
             ddx, ddy = _concentric_disk(r_d1, r_d2)
             temp = 1.0 - ddx * ddx - ddy * ddy
             ddz = jnp.where(
@@ -1276,7 +1352,7 @@ def _make_kernel(
             enders = scatter | shade
             depth = depth + jnp.where(enders | pass_med, 1, 0)
             rr = enders & (depth > rr_depth)
-            rng, rand_rr = _rng_next(rng, rr)
+            rng, rand_rr = draw(rng, rr, 7)
             q = jnp.minimum(_max3(th_r, th_g, th_b), 0.95)
             survive = rand_rr <= q
             boost = 1.0 / jnp.maximum(q, 1e-20)
@@ -1305,11 +1381,13 @@ def _make_kernel(
                 alive_ref[sl, :],
             )
 
+            PH = aux_ref[sl, :] if ld else None
+
             @pl.when(b < lb_ref[0])
             def _():
                 def step(carry):
                     s, it = carry
-                    return bounce(s), it + 1
+                    return bounce(s, it, PH), it + 1
 
                 (stf, _) = jax.lax.while_loop(
                     lambda c: (c[1] < max_iters) & jnp.any(c[0][14] > 0),
@@ -1363,12 +1441,15 @@ class MegaState(NamedTuple):
     dir: jnp.ndarray  # (R, 3)
     thr: jnp.ndarray  # (R, 3) throughput
     rad: jnp.ndarray  # (R, 3) accumulated radiance
-    rng: jnp.ndarray  # (R,) uint32 PCG32 state
+    rng: jnp.ndarray  # (R,) uint32 PCG32 state (ld: shuffled sample index)
     depth: jnp.ndarray  # (R,) int32
     alive: jnp.ndarray  # (R,) bool
+    aux: jnp.ndarray  # (R,) uint32: ld-mode pixel hash; zeros otherwise
 
 
-def fresh_state(o: jnp.ndarray, d: jnp.ndarray, rng: jnp.ndarray) -> MegaState:
+def fresh_state(
+    o: jnp.ndarray, d: jnp.ndarray, rng: jnp.ndarray, aux=None
+) -> MegaState:
     """Path state for freshly generated camera rays (post-jitter RNG)."""
     r = o.shape[0]
     return MegaState(
@@ -1379,6 +1460,7 @@ def fresh_state(o: jnp.ndarray, d: jnp.ndarray, rng: jnp.ndarray) -> MegaState:
         rng=rng,
         depth=jnp.zeros((r,), jnp.int32),
         alive=jnp.ones((r,), bool),
+        aux=aux if aux is not None else jnp.zeros((r,), jnp.uint32),
     )
 
 
@@ -1386,7 +1468,7 @@ def fresh_state(o: jnp.ndarray, d: jnp.ndarray, rng: jnp.ndarray) -> MegaState:
     jax.jit,
     static_argnames=(
         "background", "max_depth", "rr_depth", "nee_max_media", "tir_kill",
-        "analytic_direct",
+        "analytic_direct", "ld",
         "max_iters", "debug",
     ),
 )
@@ -1405,6 +1487,8 @@ def trace_paths_mega(
     live_blocks: jnp.ndarray | None = None,
     debug: str = "",
     analytic_direct: bool = False,
+    ld: bool = False,
+    dim0=0,
 ) -> MegaState:
     """Advance R paths up to ``max_iters`` bounce iterations in ONE kernel.
 
@@ -1451,6 +1535,25 @@ def trace_paths_mega(
         pack(state.depth),
         pack(state.alive.astype(jnp.int32), fill=0),
     )
+    aux_in = pack(state.aux)
+
+    # ld mode: slice this call's direction-number rows (one row per
+    # (iteration, site) draw) out of the full table by the traced dim
+    # base — the kernel then reads scalar rows from SMEM. The clip only
+    # binds far beyond any live lane's dim (alive lanes never pass
+    # 2 + 8*max_depth dims; over-scheduled phases on dead lanes may).
+    if ld:
+        from ..ops.rng import SOBOL_DIMS, sobol_matrices
+
+        nrows = max_iters * DRAWS_PER_BOUNCE
+        full = jnp.asarray(sobol_matrices().view(np.int32))
+        start = jnp.clip(jnp.asarray(dim0, jnp.int32), 0, SOBOL_DIMS - nrows)
+        sob = jax.lax.dynamic_slice(full, (start, jnp.int32(0)), (nrows, 30))
+        dimv = start.reshape(1)
+    else:
+        nrows = 1
+        sob = jnp.zeros((1, 30), jnp.int32)
+        dimv = jnp.zeros((1,), jnp.int32)
 
     C = grid.num_clusters
     S = grid.num_supers
@@ -1475,6 +1578,7 @@ def trace_paths_mega(
         debug=debug,
         SF=grid.super_factor,
         analytic_direct=analytic_direct,
+        ld=ld,
     )
     smem = lambda shape: pl.BlockSpec(shape, lambda: (0,) * len(shape), memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1495,13 +1599,15 @@ def trace_paths_mega(
             smem((M, 9)),
             smem((16,)),
             smem((1,)),
+            smem((1,)),  # ld dim base
+            smem((nrows, 30)),  # ld Sobol direction rows
             vmem(),  # run-major triangle rows
-        ] + [vmem()] * 15,
+        ] + [vmem()] * 16,
         out_specs=[vmem()] * 15,
         out_shape=[f32] * 12 + [u32, i32, i32],
         # State streams through; blocks beyond live_blocks keep their
-        # input values in place.
-        input_output_aliases={6 + i: i for i in range(15)},
+        # input values in place. (aux, the last input, is read-only.)
+        input_output_aliases={8 + i: i for i in range(15)},
         # Traversal-state pool for the scratch-ref walk: 11 f32 tiles
         # (the 'full' payload's worst case; 'dist'/'occl' borrow a
         # prefix) + K_NEE i32 tiles (the NEE sweep's packed keys).
@@ -1511,9 +1617,9 @@ def trace_paths_mega(
         ),
         interpret=grid.interpret,
     )(
-        grid.bounds, grid.super_bounds, media9, misc, lb,
+        grid.bounds, grid.super_bounds, media9, misc, lb, dimv, sob,
         grid.run_rows,
-        *ins,
+        *ins, aux_in,
     )
 
     def unpack(x):
@@ -1529,6 +1635,7 @@ def trace_paths_mega(
         rng=rng_o,
         depth=depth_o,
         alive=alive_o > 0,
+        aux=state.aux,  # constant through the kernel (read-only input)
     )
 
 

@@ -58,6 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .binned_trace import (
     BLOCK,
     EMPTY,
+    ID_BITS,
     ID_MASK,
     _entry_of,
     _make_listing_kernel,
@@ -199,8 +200,17 @@ def trace_pairs(
     subs = grid.runs_per_cluster
     run = grid.run_size
     M = media9.shape[0]
-    if C > (1 << (31 - LANE_BITS)):
-        raise ValueError(f"{C} clusters exceed the pair key's id field")
+    if C > (1 << ID_BITS):
+        # The listing kernel is shared with trace_binned, whose packed
+        # keys carry the cluster id in ID_BITS (14) bits — the looser
+        # 31-LANE_BITS pair-key bound would let C in (16384, 32768]
+        # silently corrupt listing keys (id bleeding into the entry-t
+        # bits) and let the top pair key collide with the EMPTY
+        # sentinel. Match trace_binned's guard exactly.
+        raise ValueError(
+            f"{C} clusters exceed the listing kernel's {ID_BITS}-bit id "
+            "field (shared with the binned tracer)"
+        )
 
     r = o.shape[0]
     blocks = -(-r // BLOCK)

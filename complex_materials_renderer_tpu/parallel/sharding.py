@@ -83,8 +83,11 @@ def render_beauty_sharded(
         mesh = make_render_mesh()
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
-    if n_sample > 1 and rng_mode != "counter":
-        raise ValueError("sample-parallel rendering requires rng_mode='counter'")
+    if n_sample > 1 and rng_mode not in ("counter", "ld"):
+        raise ValueError(
+            "sample-parallel rendering requires an order-independent "
+            "rng mode ('counter' or 'ld')"
+        )
     if num_samples % n_sample:
         raise ValueError(f"{num_samples} samples not divisible by sample axis {n_sample}")
 

@@ -528,6 +528,10 @@ def render_beauty(
             rng_state = rng_ops.seed_counter(
                 linear, sample_idx + jnp.asarray(sample_offset, jnp.uint32)
             )
+        elif rng_mode == "ld":
+            rng_state = rng_ops.seed_ld(
+                linear, sample_idx + jnp.asarray(sample_offset, jnp.uint32)
+            )
         rng_state, j1 = rng_ops.next_float(rng_state)
         rng_state, j2 = rng_ops.next_float(rng_state)
         jitter = jnp.stack([j1, j2], axis=-1)
@@ -578,7 +582,9 @@ def render_beauty(
                 cond_a, lambda c: (step(c[0]), c[1] + 1), (state, jnp.int32(0))
             )
             rad = jnp.zeros((r, 3), jnp.float32).at[state.lane].set(state.rad)
-            rng_out = jnp.zeros((r,), jnp.uint32).at[state.lane].set(state.rng)
+            rng_out = jnp.zeros((r,) + state.rng.shape[1:], jnp.uint32).at[
+                state.lane
+            ].set(state.rng)
 
             narrow = _State(*(x[:r2] for x in state))
             narrow = jax.lax.while_loop(
@@ -590,10 +596,17 @@ def render_beauty(
         else:
             state = jax.lax.while_loop(lambda s: jnp.any(s.alive), step, state)
             rad = jnp.zeros((r, 3), jnp.float32).at[state.lane].set(state.rad)
-            rng_out = jnp.zeros((r,), jnp.uint32).at[state.lane].set(state.rng)
+            rng_out = jnp.zeros((r,) + state.rng.shape[1:], jnp.uint32).at[
+                state.lane
+            ].set(state.rng)
         return (rng_out, acc + rad), None
 
-    seed0 = rng_state if rng_state is not None else rng_ops.seed_from_pixel(linear)
+    if rng_state is not None:
+        seed0 = rng_state
+    elif rng_mode == "ld":
+        seed0 = rng_ops.seed_ld(linear, 0)  # re-seeded per sample; dtype anchor
+    else:
+        seed0 = rng_ops.seed_from_pixel(linear)
     (final_rng, acc), _ = jax.lax.scan(
         one_sample,
         (seed0, jnp.zeros((r, 3), jnp.float32)),

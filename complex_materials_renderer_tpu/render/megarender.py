@@ -253,6 +253,7 @@ def render_beauty_mega(
             max_depth=max_depth, rr_depth=rr_depth,
             nee_max_media=nee_max_media, tir=tir,
             list_len=binned_list, cap_iters=binned_cap, direct=direct,
+            ld=(rng_mode == "ld"),
         )
     elif trace_engine == "pair":
         # Cluster-major pair sweep with XLA physics — one global sort
@@ -265,6 +266,7 @@ def render_beauty_mega(
             grid, scene, lights, media9,
             max_depth=max_depth, rr_depth=rr_depth,
             nee_max_media=nee_max_media, tir=tir, direct=direct,
+            ld=(rng_mode == "ld"),
         )
     else:
         kern = partial(
@@ -278,13 +280,21 @@ def render_beauty_mega(
             nee_max_media=nee_max_media,
             tir_kill=(tir == "kill"),
             analytic_direct=(direct == "analytic"),
+            ld=(rng_mode == "ld"),
             debug=debug,
         )
 
-    def _advance(state, lane, bank_rows):
+    def _advance(state, lane, bank_rows, dim0=jnp.int32(0)):
         """Run the wavefront to termination (dynamic or static phase
         schedule) and return (radiance, rng) banked by lane id —
-        ``bank_rows`` real rows plus one spill row for pad lanes."""
+        ``bank_rows`` real rows plus one spill row for pad lanes.
+
+        ``dim0`` (traced int32 scalar): ld-mode Sobol dimension base.
+        Alive lanes run EXACTLY max_iters bounce iterations per kernel
+        call (the in-kernel while_loop only stops early when every lane
+        is dead), so the base advances deterministically by
+        8 * max_iters per call and threads through the traced loops as
+        a carry."""
         rad_bank = jnp.zeros((bank_rows + 1, 3), jnp.float32)
         rng_bank = jnp.zeros((bank_rows + 1,), jnp.uint32)
 
@@ -300,32 +310,37 @@ def render_beauty_mega(
                 ) // BLOCK
 
             def sorted_bounce(c):
-                st, lane = c
+                st, lane, d0 = c
                 st, lane = _partition_live(st, lane, scene, sortkey)
-                st = kern(st, max_iters=1, live_blocks=live_blocks_of(st))
-                return st, lane
+                st = kern(
+                    st, max_iters=1, live_blocks=live_blocks_of(st), dim0=d0
+                )
+                return st, lane, d0 + 8
 
             if dynamic == "all":
                 # Sort + single bounce until every lane dies.
-                state, lane = jax.lax.while_loop(
-                    lambda c: jnp.any(c[0].alive), sorted_bounce, (state, lane)
+                state, lane, dim0 = jax.lax.while_loop(
+                    lambda c: jnp.any(c[0].alive),
+                    sorted_bounce,
+                    (state, lane, dim0),
                 )
             else:  # "hybrid"
                 # Sort every bounce while the wavefront is wide (the
                 # measured optimum), then run the straggler tail to
                 # termination inside one kernel call.
                 for _ in range(8):
-                    state, lane = jax.lax.cond(
+                    state, lane, dim0 = jax.lax.cond(
                         jnp.any(state.alive),
                         sorted_bounce,
                         lambda c: c,
-                        (state, lane),
+                        (state, lane, dim0),
                     )
                 state, lane = _partition_live(state, lane, scene, sortkey)
                 state = kern(
                     state,
                     max_iters=max_depth,
                     live_blocks=live_blocks_of(state),
+                    dim0=dim0,
                 )
             rad_bank = rad_bank.at[lane].set(state.rad)
             rng_bank = rng_bank.at[lane].set(state.rng)
@@ -333,7 +348,8 @@ def render_beauty_mega(
 
         for i, (w, cap) in enumerate(sched):
             if i == 0:
-                state = kern(state, max_iters=cap)
+                state = kern(state, max_iters=cap, dim0=dim0)
+                dim0 = dim0 + 8 * cap
             else:
                 # Shrink to this phase's width: pack live lanes first, bank
                 # the dropped tail (all dead — the guard loop below ensures
@@ -344,30 +360,31 @@ def render_beauty_mega(
                 rng_bank = rng_bank.at[drop_lane].set(state.rng[w:])
                 state = MegaState(*(x[:w] for x in state))
                 lane = lane[:w]
-                state = kern(state, max_iters=cap)
+                state = kern(state, max_iters=cap, dim0=dim0)
+                dim0 = dim0 + 8 * cap
             if i + 1 < len(sched):
                 next_w = sched[i + 1][0]
 
                 def spill_cond(c):
-                    s, _l = c
+                    s, _l, _d = c
                     return jnp.sum(s.alive.astype(jnp.int32)) > next_w
 
                 def spill_body(c):
-                    s, l = c
-                    return kern(s, max_iters=cap), l
+                    s, l, d0 = c
+                    return kern(s, max_iters=cap, dim0=d0), l, d0 + 8 * cap
 
                 # Decay slower than the schedule assumes? Keep bouncing at
                 # this width until the survivors fit the next one.
-                state, lane = jax.lax.while_loop(
-                    spill_cond, spill_body, (state, lane)
+                state, lane, dim0 = jax.lax.while_loop(
+                    spill_cond, spill_body, (state, lane, dim0)
                 )
 
         rad_bank = rad_bank.at[lane].set(state.rad)
         rng_bank = rng_bank.at[lane].set(state.rng)
         return rad_bank[:bank_rows], rng_bank[:bank_rows]
 
-    if rng_mode == "counter":
-        # SAMPLE-PACKED LANES: the counter RNG derives each (pixel,
+    if rng_mode in ("counter", "ld"):
+        # SAMPLE-PACKED LANES: the counter/ld RNG derives each (pixel,
         # sample) stream independently, so lanes need not be one sample
         # of every pixel. Packing SG sample-lanes per pixel shrinks a
         # 1024-lane kernel block's pixel footprint from a 32x32 tile to
@@ -413,16 +430,27 @@ def render_beauty_mega(
                 + jnp.uint32(c * SG)
                 + jnp.asarray(sample_offset, jnp.uint32)
             )
-            rng0 = rng_ops.seed_counter(lin_lane, s_lane)
-            rng0, j1 = rng_ops.next_float(rng0)
-            rng0, j2 = rng_ops.next_float(rng0)
+            if rng_mode == "ld":
+                # Camera jitter = Sobol dims 0, 1; bounce draws start at
+                # dim 2 (see ops/rng.py).
+                st3 = rng_ops.seed_ld(lin_lane, s_lane)
+                st3, j1 = rng_ops.next_float(st3)
+                st3, j2 = rng_ops.next_float(st3)
+                rng0, aux0 = st3[:, 0], st3[:, 1]
+                d0 = jnp.int32(2)
+            else:
+                rng0 = rng_ops.seed_counter(lin_lane, s_lane)
+                rng0, j1 = rng_ops.next_float(rng0)
+                rng0, j2 = rng_ops.next_float(rng0)
+                aux0 = None
+                d0 = jnp.int32(0)
             org, direction = generate_rays(
                 camera, pix_lane, jnp.stack([j1, j2], -1), (full_w, full_h)
             )
-            state = fresh_state(org, direction, rng0)
+            state = fresh_state(org, direction, rng0, aux=aux0)
             state = state._replace(alive=state.alive & val_lane)
             lane = jnp.arange(rp, dtype=jnp.int32)
-            rad_step, _ = _advance(state, lane, rp)
+            rad_step, _ = _advance(state, lane, rp, dim0=d0)
             per_px = rad_step.reshape(PG, SG, 3).sum(axis=1)
             per_px = jnp.where(valg[:, None], per_px, 0.0)
             cur = jax.lax.dynamic_slice(acc, (base, 0), (PG, 3))
@@ -471,6 +499,9 @@ def render_beauty_mega(
                     ),
                     alive=jnp.concatenate(
                         [state.alive, jnp.zeros((padn,), bool)]
+                    ),
+                    aux=jnp.concatenate(
+                        [state.aux, jnp.zeros((padn,), jnp.uint32)]
                     ),
                 )
             # Pad lanes point at the bank's spill row r.

@@ -205,6 +205,7 @@ def make_pair_kern(
     list_len: int = 12,
     chunk_blocks: int = 8,
     direct: str = "scatter",
+    ld: bool = False,
 ):
     """A drop-in for megarender's per-pass kernel: advance every live
     lane up to ``max_iters`` bounces (``live_blocks`` is accepted for
@@ -215,12 +216,28 @@ def make_pair_kern(
         direct_mode=direct,
     )
 
-    def kern(state: MegaState, max_iters: int = 1, live_blocks=None):
+    def kern(state: MegaState, max_iters: int = 1, live_blocks=None,
+             dim0=0):
         del live_blocks
         n = state.org.shape[0]
+        if ld:
+            # ld rng state rows: [shuffled sample, pixel hash, dim]
+            # (ops/rng.py); dim re-enters as the driver's scalar base.
+            rng = jnp.stack(
+                [
+                    state.rng,
+                    state.aux,
+                    jnp.broadcast_to(
+                        jnp.asarray(dim0, jnp.int32).astype(jnp.uint32), (n,)
+                    ),
+                ],
+                axis=-1,
+            )
+        else:
+            rng = state.rng
         st = _State(
             org=state.org, dir=state.dir, thr=state.thr, rad=state.rad,
-            rng=state.rng, depth=state.depth, alive=state.alive,
+            rng=rng, depth=state.depth, alive=state.alive,
             lane=jnp.arange(n, dtype=jnp.int32),
         )
 
@@ -275,7 +292,9 @@ def make_pair_kern(
         st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
         return MegaState(
             org=st.org, dir=st.dir, thr=st.thr, rad=st.rad,
-            rng=st.rng, depth=st.depth, alive=st.alive,
+            rng=st.rng[:, 0] if ld else st.rng,
+            depth=st.depth, alive=st.alive,
+            aux=state.aux,
         )
 
     return kern

@@ -158,8 +158,15 @@ class Renderer:
                         # near-2x fewer slots on quad-tessellated meshes
                         # (cup 92% / vessel 85% / gem_corner 81%
                         # pairable) for the same acceptance geometry;
-                        # 'auto' == on.
-                        quads=self.options.quads != "off",
+                        # 'auto' == on. AOV passes force quads OFF: a
+                        # merged slot's (u, v) live in the QUAD basis,
+                        # so the topology AOV would report u+v > 1 on
+                        # second-triangle hits and cyclically re-based
+                        # barycentrics elsewhere, diverging from the
+                        # reference topology pass (topology.comp.glsl:
+                        # 95-111) and the bvh backend.
+                        quads=self.options.quads != "off"
+                        and self.options.aov == "beauty",
                     )
 
                 # 0 = auto: the measured default fan-out (16), doubled
@@ -233,7 +240,7 @@ class Renderer:
             # only; counter mode chunks samples too).
             band = max(1, (LANES_PER_PASS * n_tile) // opt.width)
             band = min(band, opt.height)
-            if opt.rng == "counter":
+            if opt.rng in ("counter", "ld"):
                 chunk = opt.sample_chunk or max(
                     1, PATHS_PER_PASS // (min(LANES_PER_PASS, band * opt.width))
                 )
@@ -405,6 +412,24 @@ class Renderer:
             )
         if engine in ("mega", "binned", "pair") and not is_cluster:
             raise ValueError(f"--engine {engine} requires --backend cluster")
+        if engine in ("binned", "pair"):
+            import warnings
+
+            # Banked experiments, kept fully tested as negative results —
+            # not viable production paths (NOTES.md rounds 3b/4c).
+            measured = {
+                "binned": "4.4x slower than mega on cup (0.025 vs 0.110 "
+                "Mpaths/s; lane efficiency ~2% on incoherent wavefronts)",
+                "pair": "1.6x slower than mega on cup (0.127 vs 0.205 "
+                "Mpaths/s; lanes x L expansion glue eats the visit win)",
+            }[engine]
+            warnings.warn(
+                f"--engine {engine} is a measured performance LOSER on "
+                f"every shipped scene: {measured}. It renders identical "
+                "images; use --engine mega (or auto) for production. "
+                "See NOTES.md for the full measurements.",
+                stacklevel=2,
+            )
         return engine
 
     def _render_fingerprint(self) -> str:

@@ -23,22 +23,62 @@ backend touch.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import warnings
 
 _DEFAULT_DIR = os.environ.get(
     "CMR_COMPILE_CACHE", os.path.expanduser("~/.cache/cmr_tpu_jax")
 )
 
 SEED_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "cache_seed")
+SEED_MANIFEST = os.path.join(SEED_DIR, "MANIFEST.json")
+
+
+def seed_manifest() -> dict | None:
+    """Provenance of the committed seed (written by tools/make_cache_seed.py:
+    jax/jaxlib versions, platform, device kind, entry list). ``None`` when
+    no manifest is shipped."""
+    try:
+        with open(SEED_MANIFEST) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def seed_cache(cache_dir: str, seed_dir: str | None = None) -> int:
     """Copy shipped precompiled entries into ``cache_dir`` (idempotent:
-    entries already present are left alone). Returns the number copied."""
+    entries already present are left alone). Returns the number copied.
+
+    The seed binaries are committed build artifacts (the analogue of the
+    reference's committed SPIR-V, main.cpp:271-291), produced by
+    tools/make_cache_seed.py on the chip recorded in MANIFEST.json. JAX
+    keys entries by (HLO, jax/XLA version, platform), so a seed from a
+    different environment simply never matches — but a silent version
+    miss also silently reverts cold start to the full Mosaic compile, so
+    a version mismatch warns (and tests/test_cache.py fails loudly when
+    the installed jax outruns the seed). Set ``CMR_CACHE_SEED=0`` to
+    skip seeding entirely."""
+    if os.environ.get("CMR_CACHE_SEED", "1") == "0":
+        return 0
     seed_dir = SEED_DIR if seed_dir is None else seed_dir
     if not os.path.isdir(seed_dir):
         return 0
+    if seed_dir == SEED_DIR:
+        man = seed_manifest()
+        if man is not None:
+            import jax
+
+            if man.get("jax") != jax.__version__:
+                warnings.warn(
+                    f"shipped compile-cache seed was built for jax "
+                    f"{man.get('jax')} but {jax.__version__} is installed; "
+                    "the seed will miss and the first default render pays "
+                    "the full compile. Regenerate with "
+                    "tools/make_cache_seed.py on the chip.",
+                    stacklevel=2,
+                )
     copied = 0
     for name in os.listdir(seed_dir):
         if not name.endswith("-cache"):

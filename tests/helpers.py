@@ -81,3 +81,17 @@ def fixture_lights():
         position=jnp.array([2.0, 4.0, 3.0], jnp.float32),
         intensity=jnp.array([0.8, 0.8, 0.6], jnp.float32) * 100.0,
     )
+
+
+def tiny_scene_render(rng="counter", spp=32, res=24, sample_offset=0):
+    """One small wavefront render of the shared test scene (numpy image)."""
+    from complex_materials_renderer_tpu.render.integrator import render_beauty
+
+    tris, mat_ids, media = make_test_scene()
+    scene, bvh = assemble(tris, mat_ids, media)
+    img = render_beauty(
+        fixture_camera(), scene, bvh, fixture_lights(),
+        (res, res), spp, max_depth=8, rr_depth=4,
+        rng_mode=rng, sample_offset=sample_offset,
+    )
+    return np.asarray(img, np.float64)

@@ -202,6 +202,7 @@ def test_mega_skipped_blocks_pass_through():
         rng=jnp.asarray(rngs),
         depth=jnp.zeros((r,), jnp.int32),
         alive=jnp.asarray(alive),
+        aux=jnp.zeros((r,), jnp.uint32),
     )
     media9 = pack_media(scene.media, scene.scale)
     misc = pack_misc(fixture_lights(), scene.world_lo, scene.world_hi)
@@ -369,3 +370,41 @@ def test_mega_dynamic_multiblock_skip():
     )
     assert np.all(np.isfinite(img))
     np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_mega_ld_matches_wavefront():
+    """rng='ld' in the megakernel must sample the exact same Owen-
+    scrambled Sobol values as the wavefront engine's ops/rng.py ld path:
+    both assign lockstep dimensions (camera jitter = dims 0-1, bounce
+    k's sites = dims 2+8k..9+8k), so images agree to float-associativity
+    noise like the PCG modes do."""
+    tris, mats, media = make_test_scene()
+    scene = make_scene_arrays(tris, mats, media, 1.0, 1)
+    grid = device_cluster_grid(build_clusters(tris, mats, cluster_size=8))
+    kw = dict(max_depth=4, rr_depth=2, nee_max_media=1, rng_mode="ld")
+    img_m = np.asarray(
+        render_beauty_mega(
+            fixture_camera(), scene, grid, fixture_lights(), (8, 8), 2, **kw
+        )
+    )
+    img_w = np.asarray(
+        render_beauty(
+            fixture_camera(), scene, grid, fixture_lights(), (8, 8), 2, **kw
+        )
+    )
+    assert np.all(np.isfinite(img_m))
+    np.testing.assert_allclose(img_m, img_w, atol=1e-5)
+    # And ld samples the counter estimand: means agree at low spp.
+    img_c = np.asarray(
+        render_beauty_mega(
+            fixture_camera(), scene, grid, fixture_lights(), (8, 8), 32,
+            max_depth=4, rr_depth=2, nee_max_media=1, rng_mode="counter",
+        )
+    )
+    img_l = np.asarray(
+        render_beauty_mega(
+            fixture_camera(), scene, grid, fixture_lights(), (8, 8), 32,
+            **kw,
+        )
+    )
+    assert abs(img_l.mean() - img_c.mean()) < 0.01

@@ -71,6 +71,27 @@ def main() -> None:
         total += os.path.getsize(src)
     print(f"seeded {len(names)} entries, {total / 1e6:.2f} MB -> {SEED_DIR}")
 
+    # Provenance manifest: utils/cache.seed_cache warns (and
+    # tests/test_cache.py fails) when the installed jax no longer matches
+    # — a version bump must not silently revert cold start to the full
+    # Mosaic compile.
+    import json
+
+    import jax
+    import jaxlib
+
+    manifest = {
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
+        "platform": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "config": "default preview (BASELINE config 1: 128x128 @ 8 spp)",
+        "entries": sorted(names),
+    }
+    with open(os.path.join(SEED_DIR, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"manifest -> {os.path.join(SEED_DIR, 'MANIFEST.json')}")
+
 
 if __name__ == "__main__":
     main()
