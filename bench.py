@@ -115,10 +115,18 @@ def _config5_acceptance() -> dict:
     from complex_materials_renderer_tpu.tools.goldens import rmse
 
     def bench_1080p():
+        # 16 spp, not 4: the auto sample chunk at 1080p is 16 samples
+        # per device pass, and config 5 is a 1024-spp render — every
+        # production pass runs full 16-sample chunks. Timing 4 spp
+        # amortized per-pass fixed costs 4x worse and UNDER-reported the
+        # acceptance resolution by 29% (round-4 weak #3; round-5
+        # tools/study_1080p.py: 1080p@4 1.371 vs 1080p@16 2.259
+        # Mpaths/s — the "1080p cliff" was chunk amortization, not
+        # geometry: at equal chunks 1080p is FASTER than 512^2).
         opt = RenderOptions()
         opt.obj_path = "scenes/showcase.obj"
         opt.width, opt.height = 1920, 1080
-        opt.num_samples = 4
+        opt.num_samples = 16
         opt.rng = "counter"
         opt.shard = "none"
         scene = load_scene(opt.obj_path, opt)
@@ -128,7 +136,7 @@ def _config5_acceptance() -> dict:
         img = r.render()
         dt = time.perf_counter() - t0
         assert np.all(np.isfinite(np.asarray(img)))
-        return 1920 * 1080 * 4 / dt / 1e6
+        return 1920 * 1080 * 16 / dt / 1e6
 
     def render_256(spp, rng, direct):
         opt = RenderOptions()
