@@ -36,7 +36,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("scene")
     ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--wh", default="", help="WxH (overrides --res)")
     ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="samples per device pass (0 = auto)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timed repetitions after the warm render")
     ap.add_argument("--debug", default="", help="CMR_MEGA_DEBUG token(s)")
     ap.add_argument("--sched", default="1:1,4:1,16:2,64:32",
                     help="CMR_MEGA_SCHED ('' keeps the engine default)")
@@ -73,7 +78,11 @@ def main() -> None:
     opt = RenderOptions()
     opt.obj_path = SHORTHANDS.get(args.scene, args.scene)
     opt.width = opt.height = args.res
+    if args.wh:
+        w, h = args.wh.lower().split("x")
+        opt.width, opt.height = int(w), int(h)
     opt.num_samples = args.spp
+    opt.sample_chunk = args.chunk
     opt.cluster_size = args.width
     opt.super_factor = args.super_factor
     opt.partition = args.partition
@@ -94,18 +103,20 @@ def main() -> None:
         flush=True,
     )
     r.render()  # warm the exact signature
-    t0 = time.perf_counter()
-    img = np.asarray(r.render())
-    dt = time.perf_counter() - t0
-    mp = args.res * args.res * args.spp / dt / 1e6
-    print(
-        f"{os.path.basename(opt.obj_path)} {args.res}@{args.spp} "
-        f"debug='{args.debug}' part={args.partition} w={args.width} "
-        f"sf={args.super_factor} quads={args.quads} "
-        f"engine={args.engine} direct={args.direct}: "
-        f"{mp:.3f} Mpaths/s mean={img.mean():.5f}",
-        flush=True,
-    )
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        img = np.asarray(r.render())
+        dt = time.perf_counter() - t0
+        mp = opt.width * opt.height * args.spp / dt / 1e6
+        print(
+            f"{os.path.basename(opt.obj_path)} {opt.width}x{opt.height}"
+            f"@{args.spp} chunk={args.chunk or 'auto'} "
+            f"debug='{args.debug}' part={args.partition} w={args.width} "
+            f"sf={args.super_factor} quads={args.quads} "
+            f"engine={args.engine} direct={args.direct} rng={args.rng}: "
+            f"{mp:.3f} Mpaths/s mean={img.mean():.5f}",
+            flush=True,
+        )
     if args.save:
         np.save(args.save, img)
 
