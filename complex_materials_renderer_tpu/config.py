@@ -47,6 +47,11 @@ class RenderOptions:
     # | counter (hashed per-(pixel,sample)) | ld (Owen-scrambled Sobol,
     # lowest-variance mode — ops/rng.py)
     sample_chunk: int = 0  # samples per device pass; 0 = auto
+    spp_mode: str = "uniform"  # uniform (reference semantics: every pixel
+    # gets -s samples) | adaptive (same TOTAL budget, per-pixel counts
+    # proportional to measured per-pixel std after a uniform warmup —
+    # lower image RMSE at equal cost; counter/ld RNG + mega-family
+    # engines only. renderer._render_adaptive)
     shard: str = "auto"  # auto | none — tile-shard over available devices
     leaf_size: int = 4  # BVH max triangles per leaf
     cluster_size: int = 0  # Pallas tracer cluster width; 0 = auto (128,
@@ -89,6 +94,9 @@ HELP_TEXT = """Complex Materials Renderer (TPU) help:
 \t--shard\tauto (tile-shard across devices) or none
 \t--nee-bound\tMax media crossings along shadow rays (default: 4)
 \t--sample-chunk\tSamples per bounded device pass (default: 0 = auto)
+\t--spp-mode\tuniform (default: every pixel gets -s samples) | adaptive
+\t\t(same total budget allocated per-pixel by measured noise; needs
+\t\t--rng counter|ld and the mega engine; lower RMSE at equal cost)
 \t--cluster-size\tPallas tracer cluster width in triangles (default:
 \t\t0 = auto: 128, shrunk for scenes that fit in one cluster)
 \t--super-factor\tClusters per super-cluster culling group (default: auto)
@@ -190,6 +198,14 @@ def parse_argv(argv, options: RenderOptions | None = None) -> RenderOptions:
             v, i = take_value(i)
             if v is not None:
                 opt.sample_chunk = int(v)
+        elif a == "--spp-mode":
+            v, i = take_value(i)
+            if v is not None:
+                if v not in ("uniform", "adaptive"):
+                    raise ValueError(
+                        f"--spp-mode must be uniform|adaptive, got {v!r}"
+                    )
+                opt.spp_mode = v
         elif a == "--cluster-size":
             v, i = take_value(i)
             if v is not None:

@@ -143,158 +143,82 @@ def _partition_live(state: MegaState, lane: jnp.ndarray, scene,
     return MegaState(*(take(x) for x in state)), take(lane)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "resolution",
-        "num_samples",
-        "max_depth",
-        "rr_depth",
-        "nee_max_media",
-        "rng_mode",
-        "full_resolution",
-        "return_rng",
-        "tir",
-        "schedule_mode",
-        "schedule",
-        "sortkey",
-        "debug",
-        "trace_engine",
-        "binned_list",
-        "binned_cap",
-        "direct",
-    ),
-)
-def render_beauty_mega(
-    camera: Camera,
-    scene: SceneArrays,
-    grid: DeviceClusterGrid,
-    lights: Lights,
-    resolution,
-    num_samples: int,
-    max_depth: int = 32,
-    rr_depth: int = 16,
-    nee_max_media: int = 4,
-    rng_mode: str = "parity",
-    pixel_offset=0,
-    row_offset=0,
-    full_resolution=None,
-    sample_offset=0,
-    rng_state=None,
-    return_rng=False,
-    tir: str = "reflect",
-    schedule_mode: str = "auto",
-    schedule: str = "",
-    sortkey: str = "dir",
-    debug: str = "",
-    trace_engine: str = "mega",
-    binned_list: int = 8,
-    binned_cap: int = 12,
-    direct: str = "scatter",
-):
-    """Render an (H, W, 3) tile of the beauty pass with the megakernel.
-
-    Same interface/semantics as integrator.render_beauty (see its
-    docstring for the chunk/shard contract); ``rng_state`` is carried in
-    row-major pixel order. ``schedule_mode``: auto (default; by scene
-    size) | off (static phase schedule) | hybrid | all (dynamic
-    live_blocks modes) — see the mode comment below.
-
-    ``schedule`` / ``sortkey`` / ``debug`` are the tuning knobs
-    (static, so they participate in the jit cache key — env vars read at
-    trace time would be invisible to a cached trace). The CLI/bench layer
-    reads CMR_MEGA_SCHED / CMR_MEGA_SORTKEY / CMR_MEGA_DEBUG /
-    CMR_MEGA_DYN once per render and passes them here.
-    """
-    width, height = resolution
-    full_w, full_h = full_resolution if full_resolution else (width, height)
-    ys, xs = jnp.meshgrid(
-        jnp.arange(height, dtype=jnp.int32),
-        jnp.arange(width, dtype=jnp.int32),
-        indexing="ij",
-    )
-    pixel_xy = jnp.stack(
-        [xs.reshape(-1) + pixel_offset, ys.reshape(-1) + row_offset], axis=-1
-    )
-    linear = pixel_xy[:, 1] * full_w + pixel_xy[:, 0]
-    r = pixel_xy.shape[0]
-    rp = -(-r // BLOCK) * BLOCK  # lanes padded to whole kernel blocks
-
-    perm, inv = _tile_perm(width, height)
-    perm = jnp.asarray(perm)
-    inv = jnp.asarray(inv)
-    pixel_xy_t = jnp.take(pixel_xy, perm, axis=0)
-    linear_t = jnp.take(linear, perm, axis=0)
-
-    media9 = pack_media(scene.media, scene.scale)
-    misc = pack_misc(lights, scene.world_lo, scene.world_hi)
-    # off = static per-width phase schedule (fastest steady-state on
-    # typical scenes — showcase 1.37 vs 0.89/0.69 Mpaths/s — but one
-    # Mosaic compile per width, ~7x the compile time); hybrid = dynamic
-    # live_blocks with 8 per-bounce sorts then a to-death tail (2
-    # compiles); all = sort every bounce to death (1 compile — and the
-    # fastest measured mode on large deep-path scenes: cup 0.117 vs
-    # 0.095). auto picks by scene size.
+def _resolve_dynamic(schedule_mode: str, grid) -> str:
+    """off = static per-width phase schedule (fastest steady-state on
+    typical scenes — showcase 1.37 vs 0.89/0.69 Mpaths/s — but one
+    Mosaic compile per width, ~7x the compile time); hybrid = dynamic
+    live_blocks with 8 per-bounce sorts then a to-death tail (2
+    compiles); all = sort every bounce to death (1 compile — and the
+    fastest measured mode on large deep-path scenes: cup 0.117 vs
+    0.095). auto picks by scene size."""
     dynamic = schedule_mode
     if dynamic == "1":
         dynamic = "all"
     if dynamic == "auto":
         dynamic = "all" if grid.num_clusters > 128 else "off"
-    sched = _phase_schedule(rp, max_depth, schedule)
+    return dynamic
 
+
+def _make_kern(
+    grid, scene, lights, media9, misc, *, trace_engine, max_depth, rr_depth,
+    nee_max_media, tir, direct, rng_mode, binned_list, binned_cap, debug,
+):
+    """Build the per-pass bounce kernel for the selected trace engine."""
     if trace_engine == "binned":
         # Per-lane-work-proportional traces with XLA physics — the
         # engine for incoherent/large-scene wavefronts where the fused
         # kernel's block-union traversal dilutes 5-44x (binnedrender).
         from .binnedrender import make_binned_kern
 
-        kern = make_binned_kern(
+        return make_binned_kern(
             grid, scene, lights, media9,
             max_depth=max_depth, rr_depth=rr_depth,
             nee_max_media=nee_max_media, tir=tir,
             list_len=binned_list, cap_iters=binned_cap, direct=direct,
             ld=(rng_mode == "ld"),
         )
-    elif trace_engine == "pair":
+    if trace_engine == "pair":
         # Cluster-major pair sweep with XLA physics — one global sort
         # groups every (lane, cluster) pair cluster-major per trace, so
         # visit count tracks listed pairs instead of block unions
         # (pairrender / kernels/pairsweep.py).
         from .pairrender import make_pair_kern
 
-        kern = make_pair_kern(
+        return make_pair_kern(
             grid, scene, lights, media9,
             max_depth=max_depth, rr_depth=rr_depth,
             nee_max_media=nee_max_media, tir=tir, direct=direct,
             ld=(rng_mode == "ld"),
         )
-    else:
-        kern = partial(
-            trace_paths_mega,
-            grid,
-            media9,
-            misc,
-            background=scene.background,
-            max_depth=max_depth,
-            rr_depth=rr_depth,
-            nee_max_media=nee_max_media,
-            tir_kill=(tir == "kill"),
-            analytic_direct=(direct == "analytic"),
-            ld=(rng_mode == "ld"),
-            debug=debug,
-        )
+    return partial(
+        trace_paths_mega,
+        grid,
+        media9,
+        misc,
+        background=scene.background,
+        max_depth=max_depth,
+        rr_depth=rr_depth,
+        nee_max_media=nee_max_media,
+        tir_kill=(tir == "kill"),
+        analytic_direct=(direct == "analytic"),
+        ld=(rng_mode == "ld"),
+        debug=debug,
+    )
+
+
+def _make_advance(kern, dynamic, sched, scene, sortkey, max_depth):
+    """Build the wavefront advance: run ``state`` to termination (dynamic
+    or static phase schedule) and return (radiance, rng) banked by lane
+    id — ``bank_rows`` real rows plus one spill row for pad lanes.
+
+    ``dim0`` (traced int32 scalar): ld-mode Sobol dimension base.
+    Alive lanes run EXACTLY max_iters bounce iterations per kernel
+    call (the in-kernel while_loop only stops early when every lane
+    is dead), so the base advances deterministically by
+    8 * max_iters per call and threads through the traced loops as
+    a carry."""
 
     def _advance(state, lane, bank_rows, dim0=jnp.int32(0)):
-        """Run the wavefront to termination (dynamic or static phase
-        schedule) and return (radiance, rng) banked by lane id —
-        ``bank_rows`` real rows plus one spill row for pad lanes.
-
-        ``dim0`` (traced int32 scalar): ld-mode Sobol dimension base.
-        Alive lanes run EXACTLY max_iters bounce iterations per kernel
-        call (the in-kernel while_loop only stops early when every lane
-        is dead), so the base advances deterministically by
-        8 * max_iters per call and threads through the traced loops as
-        a carry."""
         rad_bank = jnp.zeros((bank_rows + 1, 3), jnp.float32)
         rng_bank = jnp.zeros((bank_rows + 1,), jnp.uint32)
 
@@ -382,6 +306,105 @@ def render_beauty_mega(
         rad_bank = rad_bank.at[lane].set(state.rad)
         rng_bank = rng_bank.at[lane].set(state.rng)
         return rad_bank[:bank_rows], rng_bank[:bank_rows]
+
+    return _advance
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "resolution",
+        "num_samples",
+        "max_depth",
+        "rr_depth",
+        "nee_max_media",
+        "rng_mode",
+        "full_resolution",
+        "return_rng",
+        "tir",
+        "schedule_mode",
+        "schedule",
+        "sortkey",
+        "debug",
+        "trace_engine",
+        "binned_list",
+        "binned_cap",
+        "direct",
+    ),
+)
+def render_beauty_mega(
+    camera: Camera,
+    scene: SceneArrays,
+    grid: DeviceClusterGrid,
+    lights: Lights,
+    resolution,
+    num_samples: int,
+    max_depth: int = 32,
+    rr_depth: int = 16,
+    nee_max_media: int = 4,
+    rng_mode: str = "parity",
+    pixel_offset=0,
+    row_offset=0,
+    full_resolution=None,
+    sample_offset=0,
+    rng_state=None,
+    return_rng=False,
+    tir: str = "reflect",
+    schedule_mode: str = "auto",
+    schedule: str = "",
+    sortkey: str = "dir",
+    debug: str = "",
+    trace_engine: str = "mega",
+    binned_list: int = 8,
+    binned_cap: int = 12,
+    direct: str = "scatter",
+):
+    """Render an (H, W, 3) tile of the beauty pass with the megakernel.
+
+    Same interface/semantics as integrator.render_beauty (see its
+    docstring for the chunk/shard contract); ``rng_state`` is carried in
+    row-major pixel order. ``schedule_mode``: auto (default; by scene
+    size) | off (static phase schedule) | hybrid | all (dynamic
+    live_blocks modes) — see the mode comment below.
+
+    ``schedule`` / ``sortkey`` / ``debug`` are the tuning knobs
+    (static, so they participate in the jit cache key — env vars read at
+    trace time would be invisible to a cached trace). The CLI/bench layer
+    reads CMR_MEGA_SCHED / CMR_MEGA_SORTKEY / CMR_MEGA_DEBUG /
+    CMR_MEGA_DYN once per render and passes them here.
+    """
+    width, height = resolution
+    full_w, full_h = full_resolution if full_resolution else (width, height)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.int32),
+        jnp.arange(width, dtype=jnp.int32),
+        indexing="ij",
+    )
+    pixel_xy = jnp.stack(
+        [xs.reshape(-1) + pixel_offset, ys.reshape(-1) + row_offset], axis=-1
+    )
+    linear = pixel_xy[:, 1] * full_w + pixel_xy[:, 0]
+    r = pixel_xy.shape[0]
+    rp = -(-r // BLOCK) * BLOCK  # lanes padded to whole kernel blocks
+
+    perm, inv = _tile_perm(width, height)
+    perm = jnp.asarray(perm)
+    inv = jnp.asarray(inv)
+    pixel_xy_t = jnp.take(pixel_xy, perm, axis=0)
+    linear_t = jnp.take(linear, perm, axis=0)
+
+    media9 = pack_media(scene.media, scene.scale)
+    misc = pack_misc(lights, scene.world_lo, scene.world_hi)
+    dynamic = _resolve_dynamic(schedule_mode, grid)
+    sched = _phase_schedule(rp, max_depth, schedule)
+    kern = _make_kern(
+        grid, scene, lights, media9, misc,
+        trace_engine=trace_engine, max_depth=max_depth, rr_depth=rr_depth,
+        nee_max_media=nee_max_media, tir=tir, direct=direct,
+        rng_mode=rng_mode, binned_list=binned_list, binned_cap=binned_cap,
+        debug=debug,
+    )
+    _advance = _make_advance(kern, dynamic, sched, scene, sortkey, max_depth)
 
     if rng_mode in ("counter", "ld"):
         # SAMPLE-PACKED LANES: the counter/ld RNG derives each (pixel,
@@ -531,3 +554,133 @@ def render_beauty_mega(
     if return_rng:
         return img, jnp.take(final_rng, inv, axis=0)
     return img
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "full_resolution",
+        "max_depth",
+        "rr_depth",
+        "nee_max_media",
+        "rng_mode",
+        "tir",
+        "schedule_mode",
+        "schedule",
+        "sortkey",
+        "debug",
+        "trace_engine",
+        "binned_list",
+        "binned_cap",
+        "direct",
+        "chunk_lanes",
+    ),
+)
+def render_samples_mega(
+    camera: Camera,
+    scene: SceneArrays,
+    grid: DeviceClusterGrid,
+    lights: Lights,
+    pixel_xy,
+    sample_idx,
+    valid,
+    full_resolution,
+    max_depth: int = 32,
+    rr_depth: int = 16,
+    nee_max_media: int = 4,
+    rng_mode: str = "counter",
+    tir: str = "reflect",
+    schedule_mode: str = "auto",
+    schedule: str = "",
+    sortkey: str = "dir",
+    debug: str = "",
+    trace_engine: str = "mega",
+    binned_list: int = 8,
+    binned_cap: int = 12,
+    direct: str = "scatter",
+    chunk_lanes: int = 1 << 16,
+):
+    """Per-LANE render: one camera sample per lane at caller-chosen
+    (pixel, sample-index) pairs — the adaptive-allocation entry point
+    (renderer._render_adaptive).
+
+    ``pixel_xy`` (L, 2) int32 full-image pixel coordinates, ``sample_idx``
+    (L,) uint32 per-pixel sample numbers, ``valid`` (L,) bool (invalid
+    lanes trace nothing and return zero). All three are TRACED, so every
+    round of an adaptive render reuses one compiled executable as long as
+    L is unchanged. Returns (L, 3) per-lane radiance.
+
+    Only the stateless RNG modes make sense here (each (pixel, sample)
+    stream is derived independently — the same property the uniform
+    path's sample-packed lanes rely on); parity mode raises. Lanes are
+    processed in ``chunk_lanes``-wide device waves via lax.scan, same
+    bound as the uniform path's passes."""
+    if rng_mode not in ("counter", "ld"):
+        raise ValueError(
+            "render_samples_mega requires a stateless RNG mode "
+            f"(counter | ld), got {rng_mode!r}"
+        )
+    full_w, full_h = full_resolution
+    L = pixel_xy.shape[0]
+    CH = min(chunk_lanes, -(-L // BLOCK) * BLOCK)
+    CH = max(BLOCK, (CH // BLOCK) * BLOCK)
+    n_steps = -(-L // CH)
+    pad = n_steps * CH - L
+    if pad:
+        pixel_xy = jnp.concatenate(
+            [pixel_xy, jnp.zeros((pad, 2), pixel_xy.dtype)]
+        )
+        sample_idx = jnp.concatenate(
+            [sample_idx, jnp.zeros((pad,), sample_idx.dtype)]
+        )
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+
+    media9 = pack_media(scene.media, scene.scale)
+    misc = pack_misc(lights, scene.world_lo, scene.world_hi)
+    dynamic = _resolve_dynamic(schedule_mode, grid)
+    sched = _phase_schedule(CH, max_depth, schedule)
+    kern = _make_kern(
+        grid, scene, lights, media9, misc,
+        trace_engine=trace_engine, max_depth=max_depth, rr_depth=rr_depth,
+        nee_max_media=nee_max_media, tir=tir, direct=direct,
+        rng_mode=rng_mode, binned_list=binned_list, binned_cap=binned_cap,
+        debug=debug,
+    )
+    advance = _make_advance(kern, dynamic, sched, scene, sortkey, max_depth)
+
+    def one_chunk(acc, t):
+        base = t * CH
+        pix = jax.lax.dynamic_slice(pixel_xy, (base, 0), (CH, 2))
+        s_lane = jax.lax.dynamic_slice(sample_idx, (base,), (CH,))
+        val = jax.lax.dynamic_slice(valid, (base,), (CH,))
+        lin = pix[:, 1] * full_w + pix[:, 0]
+        if rng_mode == "ld":
+            # Camera jitter = Sobol dims 0, 1; bounce draws from dim 2
+            # (ops/rng.py) — identical stream to the uniform path for the
+            # same (pixel, sample) pair.
+            st3 = rng_ops.seed_ld(lin, s_lane.astype(jnp.uint32))
+            st3, j1 = rng_ops.next_float(st3)
+            st3, j2 = rng_ops.next_float(st3)
+            rng0, aux0 = st3[:, 0], st3[:, 1]
+            d0 = jnp.int32(2)
+        else:
+            rng0 = rng_ops.seed_counter(lin, s_lane.astype(jnp.uint32))
+            rng0, j1 = rng_ops.next_float(rng0)
+            rng0, j2 = rng_ops.next_float(rng0)
+            aux0 = None
+            d0 = jnp.int32(0)
+        org, direction = generate_rays(
+            camera, pix, jnp.stack([j1, j2], -1), (full_w, full_h)
+        )
+        state = fresh_state(org, direction, rng0, aux=aux0)
+        state = state._replace(alive=state.alive & val)
+        lane = jnp.arange(CH, dtype=jnp.int32)
+        rad, _ = advance(state, lane, CH, dim0=d0)
+        rad = jnp.where(val[:, None], rad, 0.0)
+        return jax.lax.dynamic_update_slice(acc, rad, (base, 0)), None
+
+    acc0 = jnp.zeros((n_steps * CH, 3), jnp.float32)
+    acc, _ = jax.lax.scan(
+        one_chunk, acc0, jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return acc[:L]

@@ -228,6 +228,15 @@ class Renderer:
                 img = np.asarray(jax.block_until_ready(img))
             return img
 
+        if opt.spp_mode == "adaptive":
+            if checkpoint_path:
+                raise ValueError(
+                    "--spp-mode adaptive does not support --checkpoint "
+                    "(per-pixel sample counts are not resumable state yet); "
+                    "drop one of the two flags"
+                )
+            return self.render_adaptive()
+
         if opt.shard == "auto" and len(jax.devices()) > 1:
             from .parallel.sharding import make_render_mesh, render_beauty_sharded
 
@@ -393,6 +402,180 @@ class Renderer:
         if checkpoint_path and os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)
         return acc
+
+    def render_adaptive(self, snapshot_cb=None, sample_base: int = 0):
+        """Adaptive per-pixel sample allocation at the uniform budget
+        (--spp-mode adaptive): total samples = width*height*num_samples,
+        but each pixel's count tracks its measured noise.
+
+        Same estimand as uniform — every sample is the reference
+        estimator's (volpath:580-798); only WHERE the budget goes
+        changes. Protocol: a uniform warmup (1/4 of the budget, >= 2 spp)
+        accumulates per-pixel (sum, sumsq, n); each subsequent round
+        re-targets counts toward n_p ~ sigma_p (the allocation that
+        minimizes image MSE at fixed budget), with the per-pixel std map
+        3x3-box-smoothed and mixed 25% uniform — the defensive floor
+        against zero-variance lockout (a pixel whose first samples
+        happened to agree still keeps sampling). Measured headroom on the
+        bench protocol: ideal 1.50x variance, realizable ~1.34x at a
+        64-spp budget, rising toward ideal as the budget grows
+        (tools/study_adaptive.py, NOTES round 5e).
+
+        Rounds are driven through render_samples_mega with a FIXED lane
+        shape, so the whole render compiles once. The per-pixel mean is
+        very slightly adaptive-biased (counts depend on earlier samples);
+        the 25% uniform floor + warmup bound it far below the noise at
+        any practical budget, and the convergence test pins it
+        (tests/test_adaptive.py).
+
+        ``snapshot_cb(avg_spp, image_fn)``: optional progress hook after
+        each round (bench.py uses it to measure the RMSE crossing
+        mid-flight); image_fn() materializes the current estimate.
+        ``sample_base``: added to every per-pixel sample index —
+        measurement harnesses use it to keep an adaptive run's sample
+        window disjoint from an independently rendered truth's.
+        """
+        opt = self.options
+        if opt.rng not in ("counter", "ld"):
+            raise ValueError(
+                "--spp-mode adaptive requires a stateless RNG "
+                "(--rng counter|ld); parity's sequential per-pixel stream "
+                "has no defined order under per-pixel sample counts"
+            )
+        engine = self._resolve_engine()
+        if engine not in ("mega", "binned", "pair"):
+            raise ValueError(
+                "--spp-mode adaptive requires the mega-family engines "
+                "(cluster backend); got engine="
+                f"{engine!r} (backend {type(self.bvh).__name__})"
+            )
+        if opt.shard == "auto" and len(jax.devices()) > 1:
+            raise ValueError(
+                "--spp-mode adaptive is single-device for now; pass "
+                "--shard none (tile-DP sharding of adaptive rounds is a "
+                "planned extension)"
+            )
+        from .render.megarender import _tile_perm, render_samples_mega
+
+        knobs = _mega_env_knobs()
+        if engine == "binned":
+            knobs["trace_engine"] = "binned"
+            knobs["binned_list"] = int(os.environ.get("CMR_BINNED_LIST", 8))
+            knobs["binned_cap"] = int(os.environ.get("CMR_BINNED_CAP", 12))
+        if engine == "pair":
+            knobs["trace_engine"] = "pair"
+
+        W, H = opt.width, opt.height
+        r = W * H
+        n_total = r * opt.num_samples
+        # One compiled shape for every round: lanes per device call.
+        ch = min(LANES_PER_PASS, r)
+        l_call = min(PATHS_PER_PASS, -(-n_total // ch) * ch)
+        # Lanes are issued in 32x32-tile pixel order (the uniform path's
+        # primary-ray coherence layout; _partition_live's stable sort
+        # preserves it within equal keys).
+        perm, _inv = _tile_perm(W, H)
+        rank = np.empty(r, np.int64)
+        rank[perm] = np.arange(r)
+
+        n = np.zeros(r, np.int64)
+        acc = np.zeros((r, 3), np.float64)
+        acc2 = np.zeros((r, 3), np.float64)
+        warmup = max(2 * r, n_total // 4)
+        issued = 0
+
+        def weights():
+            """Per-pixel allocation targets ~ smoothed std, 25% uniform."""
+            nn = np.maximum(n, 2)[:, None]
+            var = np.maximum(acc2 / nn - (acc / nn) ** 2, 0.0).mean(-1)
+            sig = np.sqrt(var * (nn[:, 0] / np.maximum(nn[:, 0] - 1, 1)))
+            s = sig.reshape(H, W)
+            p = np.pad(s, 1, mode="edge")
+            s = (
+                p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+                + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+                + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+            ).reshape(-1) / 9.0
+            m = s.mean()
+            if not np.isfinite(m) or m <= 0.0:
+                return np.ones(r)
+            return 0.25 + 0.75 * (s / m)
+
+        def apportion(budget, want):
+            """Largest-remainder apportionment of ``budget`` lanes to
+            pixels proportional to ``want`` (non-negative, not all 0)."""
+            q = budget * (want / want.sum())
+            c = np.floor(q).astype(np.int64)
+            short = budget - int(c.sum())
+            if short > 0:
+                frac = q - c
+                c[np.argpartition(-frac, short - 1)[:short]] += 1
+            return c
+
+        with self.timer.phase("render"):
+            while issued < n_total:
+                lanes = int(min(l_call, n_total - issued))
+                if issued < warmup:
+                    base, extra = divmod(lanes, r)
+                    counts = np.full(r, base, np.int64)
+                    if extra:
+                        # Deterministic: first ``extra`` pixels in tile
+                        # order get the remainder.
+                        counts[rank < extra] += 1
+                else:
+                    # Catch-up toward the global target allocation so
+                    # warmup samples count against each pixel's share.
+                    w = weights()
+                    target = n_total * (w / w.sum())
+                    deficit = np.maximum(target - n, 0.0)
+                    if deficit.sum() <= 0:
+                        deficit = w
+                    counts = apportion(lanes, deficit)
+                sel = np.repeat(np.arange(r, dtype=np.int64), counts)
+                sel = sel[np.argsort(rank[sel], kind="stable")]
+                pix = np.empty((l_call, 2), np.int32)
+                pix[:lanes, 0] = sel % W
+                pix[:lanes, 1] = sel // W
+                pix[lanes:] = 0
+                sidx = np.zeros(l_call, np.uint32)
+                # Per-pixel sample indices continue each pixel's stream:
+                # within this round, the k-th occurrence of pixel p gets
+                # index n[p] + k (sel is sorted, so occurrences are
+                # consecutive).
+                first = np.r_[True, sel[1:] != sel[:-1]] if lanes else []
+                if lanes:
+                    pos = np.arange(lanes, dtype=np.int64)
+                    run0 = pos[first][np.cumsum(first) - 1]
+                    sidx[:lanes] = (
+                        sample_base + n[sel] + (pos - run0)
+                    ).astype(np.uint32)
+                val = np.zeros(l_call, bool)
+                val[:lanes] = True
+                rad = np.asarray(
+                    render_samples_mega(
+                        self.camera, self.scene_arrays, self.bvh,
+                        self.lights,
+                        jnp.asarray(pix), jnp.asarray(sidx),
+                        jnp.asarray(val), (W, H),
+                        max_depth=opt.max_depth, rr_depth=opt.rr_depth,
+                        nee_max_media=opt.nee_max_media, rng_mode=opt.rng,
+                        tir=opt.tir, direct=opt.direct, **knobs,
+                    ),
+                    np.float64,
+                )[:lanes]
+                np.add.at(acc, sel, rad)
+                np.add.at(acc2, sel, rad * rad)
+                np.add.at(n, sel, 1)
+                issued += lanes
+                if snapshot_cb is not None:
+                    snapshot_cb(
+                        issued / r,
+                        lambda: (
+                            acc / np.maximum(n, 1)[:, None]
+                        ).astype(np.float32).reshape(H, W, 3),
+                    )
+        img = (acc / np.maximum(n, 1)[:, None]).astype(np.float32)
+        return img.reshape(H, W, 3)
 
     def _resolve_engine(self) -> str:
         """Pick the bounce-loop engine. 'auto' takes the phase-compacted
