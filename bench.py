@@ -138,7 +138,11 @@ def _config5_acceptance() -> dict:
         assert np.all(np.isfinite(np.asarray(img)))
         return 1920 * 1080 * 16 / dt / 1e6
 
-    def render_256(spp, rng, direct):
+    from complex_materials_renderer_tpu.render.megarender import (
+        render_beauty_mega,
+    )
+
+    def make_renderer(spp, rng, direct, spp_mode="uniform"):
         opt = RenderOptions()
         opt.obj_path = "scenes/showcase.obj"
         opt.width = opt.height = 256
@@ -146,41 +150,103 @@ def _config5_acceptance() -> dict:
         opt.direct = direct
         opt.shard = "none"
         opt.num_samples = spp
+        opt.spp_mode = spp_mode
         scene = load_scene(opt.obj_path, opt)
-        return np.asarray(Renderer(scene, scene.options).render())
+        return Renderer(scene, scene.options)
+
+    def render_256(r, spp, rng, direct, offset):
+        """Chunked mega passes at an explicit sample offset: the probes'
+        sample windows must be DISJOINT from the truth's (0..4095) —
+        shared (pixel, sample) indices correlate probe and truth and
+        understate RMSE ~3% (fixed round 5; the r4 artifact had the
+        overlap). Default (auto) schedule: images are schedule-invariant
+        (the schedule moves work, not samples), and the static schedule
+        renders showcase 256^2 at 2.2 vs the dynamic all-mode's 0.7
+        Mpaths/s (round-5 probe) — the r4 truth render paid that 3x."""
+        acc = np.zeros((256, 256, 3), np.float64)
+        done = 0
+        while done < spp:
+            n = min(512, spp - done)
+            img = render_beauty_mega(
+                r.camera, r.scene_arrays, r.bvh, r.lights, (256, 256), n,
+                rng_mode=rng, sample_offset=offset + done,
+                direct=direct,
+            )
+            acc += np.asarray(img, np.float64) * n
+            done += n
+        return (acc / spp).astype(np.float32)
 
     def spp_to_target(target=1e-3):
         """64-spp RMSE -> spp needed, for the REFERENCE estimator
-        (counter/scatter — volpath's own sampling) AND the best shipped
+        (counter/scatter — volpath's own sampling), the best uniform
         estimator (ld/analytic: Owen-scrambled Sobol + closed-form
-        in-scatter direct term; ops/rng.py, ops/medium.py — measured
-        1.83x variance cut, round-5 NOTES).
+        in-scatter direct term — 1.83x variance, round-5a NOTES), and
+        the best shipped estimator (ld/analytic/adaptive: + per-pixel
+        allocation, --spp-mode adaptive — round-5e NOTES).
 
-        Truth = 4096-spp ld/analytic render (the lowest-variance
+        Truth = 4096-spp ld/analytic render (the lowest-variance uniform
         estimator of the shared estimand). Its own noise floor inflates
         each measured RMSE in quadrature, so it is subtracted back out;
-        extrapolation uses RMSE = c/sqrt(spp) — CONSERVATIVE for ld,
-        whose measured convergence order is ~0.535 at low spp."""
-        truth = render_256(4096, "ld", "analytic")
+        extrapolation uses RMSE = c/sqrt(spp) — CONSERVATIVE for ld
+        (measured order ~0.535 at low spp) and for adaptive (measured
+        gain GROWS with budget: 1.29x at 64, 1.35x at 256). The adaptive
+        crossing below replaces extrapolation with measurement."""
+        rt = make_renderer(64, "ld", "analytic")
+        truth = render_256(rt, 4096, "ld", "analytic", 0)
         out = {}
         floor2 = None
         for key, rng_mode, direct in (
             ("ld/analytic", "ld", "analytic"),
             ("counter/scatter", "counter", "scatter"),
         ):
-            img64 = np.asarray(render_256(64, rng_mode, direct))
+            img64 = render_256(rt, 64, rng_mode, direct, 1 << 21)
             r_meas = rmse(img64, truth)
             if floor2 is None:
                 # truth floor estimate: same estimator at 64x the spp
                 floor2 = (r_meas**2) * (64.0 / 4096.0)
             r_est = float(np.sqrt(max(r_meas**2 - floor2, 1e-12)))
             out[key] = (r_est, int(np.ceil(64 * (r_est / target) ** 2)))
+
+        # Adaptive: ONE run whose round snapshots give both the 64-spp
+        # point and the MEASURED RMSE<=1e-3 crossing (floor-adjusted).
+        # Budget: 1.25x the uniform-ld extrapolation, bounded to keep the
+        # bench inside the driver's patience; if the budget ends before
+        # the crossing, the artifact reports the extrapolation from the
+        # last snapshot instead (and says so).
+        spp_u = out["ld/analytic"][1]
+        budget = int(min(8192, max(2048, -(-int(1.25 * spp_u) // 16) * 16)))
+        ra = make_renderer(budget, "ld", "analytic", "adaptive")
+        hist = []
+
+        def snap(avg, img_fn):
+            e2 = ((img_fn().astype(np.float64) - truth) ** 2).mean()
+            e = float(np.sqrt(max(e2 - floor2, 0.0)))
+            hist.append((avg, e))
+            # Early stop: once the crossing is measured (past the 64-spp
+            # comparability point), the rest of the budget adds nothing.
+            return avg >= 64 and e <= target
+
+        # Default (auto) schedule: the crossing is a multi-hundred-spp
+        # render, and the static schedule is 3x the dynamic all-mode's
+        # throughput on showcase 256^2 (round-5 probe). Its extra width
+        # compiles are once-per-machine under the persistent cache.
+        ra.render_adaptive(snapshot_cb=snap, sample_base=1 << 21)
+        r64_a = next(e for a, e in hist if a >= 64)
+        crossing = next((a for a, e in hist if e <= target), None)
+        out["ld/analytic/adaptive"] = (
+            r64_a,
+            int(np.ceil(64 * (r64_a / target) ** 2)),
+        )
+        out["adaptive_crossing"] = (crossing, budget, hist[-1])
         return out
 
     mp = bench_1080p()
     curves = spp_to_target()
     r64, spp_star = curves["counter/scatter"]
-    r64_best, spp_best = curves["ld/analytic"]
+    r64_u, spp_u = curves["ld/analytic"]
+    r64_a, spp_a = curves["ld/analytic/adaptive"]
+    crossing, budget, last = curves["adaptive_crossing"]
+    spp_best = int(np.ceil(crossing)) if crossing is not None else spp_a
     paths_1024 = 1920 * 1080 * 1024
     t_single_1024 = paths_1024 / (mp * 1e6)
     return {
@@ -189,10 +255,21 @@ def _config5_acceptance() -> dict:
             # reference estimator (counter/scatter), r1-r4-comparable:
             "rmse_64spp_256": round(r64, 5),
             "spp_to_rmse_1e3": spp_star,
-            # best shipped estimator (--rng ld --direct analytic):
-            "rmse_64spp_256_best": round(r64_best, 5),
+            # best uniform estimator (--rng ld --direct analytic):
+            "rmse_64spp_256_ld": round(r64_u, 5),
+            "spp_to_rmse_1e3_ld": spp_u,
+            # best shipped estimator (+ --spp-mode adaptive); the spp_-
+            # _best figure is the MEASURED crossing when the budget
+            # reached it, else the sqrt extrapolation from 64 spp:
+            "rmse_64spp_256_best": round(r64_a, 5),
             "spp_to_rmse_1e3_best": spp_best,
-            "best_estimator": "ld/analytic",
+            "spp_best_basis": (
+                f"measured crossing (budget {budget})"
+                if crossing is not None
+                else f"sqrt extrapolation (no crossing in {budget}; "
+                f"last snapshot {last})"
+            ),
+            "best_estimator": "ld/analytic/adaptive",
             "time_1080p_1024spp_chip_s": round(t_single_1024, 1),
             "time_1080p_1024spp_v5e8_s": round(t_single_1024 / 8, 1),
             "time_to_rmse_1e3_1080p_v5e8_s": round(

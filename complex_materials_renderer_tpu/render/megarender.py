@@ -41,6 +41,10 @@ from ..kernels.megakernel import (
 )
 from ..kernels.pallas_trace import DeviceClusterGrid
 from ..ops import rng as rng_ops
+
+# Widest kernel wave one in-device scan step runs (see the ``step``
+# comment in render_beauty_mega). Read once at import — it shapes traces.
+STEP_LANES = int(os.environ.get("CMR_STEP_LANES", 1 << 16))
 from ..ops.camera import Camera, generate_rays
 from .hitinfo import SceneArrays
 from .integrator import Lights
@@ -386,6 +390,14 @@ def render_beauty_mega(
     linear = pixel_xy[:, 1] * full_w + pixel_xy[:, 0]
     r = pixel_xy.shape[0]
     rp = -(-r // BLOCK) * BLOCK  # lanes padded to whole kernel blocks
+    # Step wavefront width. For the stateless RNG modes the in-device
+    # scan walks (pixel-group, sample-chunk) steps, so a tile WIDER than
+    # one wave still runs STEP_LANES-wide kernel passes — per-bounce
+    # sorts stay small (they are the O(n log n) term) and one host call
+    # covers the whole tile (round-5 probe: 512^2@16 as one 262144-lane
+    # wave 1.97 Mpaths/s vs 65536-lane waves 2.2). Parity mode carries a
+    # sequential per-pixel stream across samples and keeps step == tile.
+    step = min(rp, STEP_LANES) if rng_mode in ("counter", "ld") else rp
 
     perm, inv = _tile_perm(width, height)
     perm = jnp.asarray(perm)
@@ -396,7 +408,7 @@ def render_beauty_mega(
     media9 = pack_media(scene.media, scene.scale)
     misc = pack_misc(lights, scene.world_lo, scene.world_hi)
     dynamic = _resolve_dynamic(schedule_mode, grid)
-    sched = _phase_schedule(rp, max_depth, schedule)
+    sched = _phase_schedule(step, max_depth, schedule)
     kern = _make_kern(
         grid, scene, lights, media9, misc,
         trace_engine=trace_engine, max_depth=max_depth, rr_depth=rr_depth,
@@ -417,10 +429,10 @@ def render_beauty_mega(
         # count as before; total steps are unchanged.
         SG = 1
         for cand_sg in (16, 8, 4, 2):
-            if num_samples % cand_sg == 0 and rp % cand_sg == 0:
+            if num_samples % cand_sg == 0 and step % cand_sg == 0:
                 SG = cand_sg
                 break
-        PG = rp // SG  # pixels per step
+        PG = step // SG  # pixels per step
         n_groups = -(-r // PG)
         k = num_samples // SG  # sample chunks per pixel group
         pad_px = n_groups * PG - r
@@ -472,8 +484,8 @@ def render_beauty_mega(
             )
             state = fresh_state(org, direction, rng0, aux=aux0)
             state = state._replace(alive=state.alive & val_lane)
-            lane = jnp.arange(rp, dtype=jnp.int32)
-            rad_step, _ = _advance(state, lane, rp, dim0=d0)
+            lane = jnp.arange(step, dtype=jnp.int32)
+            rad_step, _ = _advance(state, lane, step, dim0=d0)
             per_px = rad_step.reshape(PG, SG, 3).sum(axis=1)
             per_px = jnp.where(valg[:, None], per_px, 0.0)
             cur = jax.lax.dynamic_slice(acc, (base, 0), (PG, 3))

@@ -410,16 +410,16 @@ class Renderer:
 
         Same estimand as uniform — every sample is the reference
         estimator's (volpath:580-798); only WHERE the budget goes
-        changes. Protocol: a uniform warmup (1/4 of the budget, >= 2 spp)
-        accumulates per-pixel (sum, sumsq, n); each subsequent round
-        re-targets counts toward n_p ~ sigma_p (the allocation that
+        changes. Protocol: a uniform warmup (1/4 of the budget, capped at
+        32 spp) accumulates per-pixel (sum, sumsq, n); each subsequent
+        round re-targets counts toward n_p ~ sigma_p (the allocation that
         minimizes image MSE at fixed budget), with the per-pixel std map
-        3x3-box-smoothed and mixed 25% uniform — the defensive floor
-        against zero-variance lockout (a pixel whose first samples
-        happened to agree still keeps sampling). Measured headroom on the
-        bench protocol: ideal 1.50x variance, realizable ~1.34x at a
-        64-spp budget, rising toward ideal as the budget grows
-        (tools/study_adaptive.py, NOTES round 5e).
+        3x3-box-smoothed and mixed with a decaying uniform floor — the
+        defense against zero-variance lockout (a pixel whose first
+        samples happened to agree still keeps sampling). Measured on the
+        bench protocol: ideal headroom 1.50x variance; realized 1.29x at
+        a 64-spp budget, 1.35x at 256, rising toward ideal as the budget
+        grows (tools/study_adaptive.py, NOTES round 5e).
 
         Rounds are driven through render_samples_mega with a FIXED lane
         shape, so the whole render compiles once. The per-pixel mean is
@@ -430,7 +430,10 @@ class Renderer:
 
         ``snapshot_cb(avg_spp, image_fn)``: optional progress hook after
         each round (bench.py uses it to measure the RMSE crossing
-        mid-flight); image_fn() materializes the current estimate.
+        mid-flight); image_fn() materializes the current estimate. A
+        truthy return stops the render after that round (early stop —
+        the bench cuts off once the crossing is confirmed rather than
+        spending the rest of the budget).
         ``sample_base``: added to every per-pixel sample index —
         measurement harnesses use it to keep an adaptive run's sample
         window disjoint from an independently rendered truth's.
@@ -481,11 +484,21 @@ class Renderer:
         n = np.zeros(r, np.int64)
         acc = np.zeros((r, 3), np.float64)
         acc2 = np.zeros((r, 3), np.float64)
-        warmup = max(2 * r, n_total // 4)
+        # Uniform warmup: 1/4 of the budget, but never more than 32 spp —
+        # at production budgets (thousands of spp) a proportional warmup
+        # is pure allocation dilution; 32 uniform samples already give the
+        # std map ~18% relative error per pixel before smoothing.
+        warmup = max(2 * r, min(n_total // 4, 32 * r))
         issued = 0
 
         def weights():
-            """Per-pixel allocation targets ~ smoothed std, 25% uniform."""
+            """Per-pixel allocation targets ~ smoothed std, with a uniform
+            mixture floor that DECAYS as counts grow: the floor guards
+            against variance-estimate lockout, and sigma-hat's relative
+            error shrinks ~ 1/sqrt(n_p), so the guard can shrink at the
+            same rate (0.25 at a 64-spp average, never below 0.08)."""
+            avg = max(float(issued) / r, 1.0)
+            frac = float(np.clip(0.25 * np.sqrt(64.0 / avg), 0.08, 0.25))
             nn = np.maximum(n, 2)[:, None]
             var = np.maximum(acc2 / nn - (acc / nn) ** 2, 0.0).mean(-1)
             sig = np.sqrt(var * (nn[:, 0] / np.maximum(nn[:, 0] - 1, 1)))
@@ -499,7 +512,7 @@ class Renderer:
             m = s.mean()
             if not np.isfinite(m) or m <= 0.0:
                 return np.ones(r)
-            return 0.25 + 0.75 * (s / m)
+            return frac + (1.0 - frac) * (s / m)
 
         def apportion(budget, want):
             """Largest-remainder apportionment of ``budget`` lanes to
@@ -514,7 +527,18 @@ class Renderer:
 
         with self.timer.phase("render"):
             while issued < n_total:
-                lanes = int(min(l_call, n_total - issued))
+                # Round size grows geometrically past warmup (~issued/3,
+                # capped at 8 device calls): re-weighting every device
+                # pass is pure host glue at production budgets, while the
+                # cap keeps the snapshot (crossing-measurement) resolution
+                # a few percent of the running average.
+                if issued < warmup:
+                    lanes = int(min(l_call, warmup - issued))
+                else:
+                    lanes = int(
+                        min(n_total - issued, 8 * l_call,
+                            max(l_call, issued // 3))
+                    )
                 if issued < warmup:
                     base, extra = divmod(lanes, r)
                     counts = np.full(r, base, np.int64)
@@ -533,47 +557,59 @@ class Renderer:
                     counts = apportion(lanes, deficit)
                 sel = np.repeat(np.arange(r, dtype=np.int64), counts)
                 sel = sel[np.argsort(rank[sel], kind="stable")]
-                pix = np.empty((l_call, 2), np.int32)
-                pix[:lanes, 0] = sel % W
-                pix[:lanes, 1] = sel // W
-                pix[lanes:] = 0
-                sidx = np.zeros(l_call, np.uint32)
                 # Per-pixel sample indices continue each pixel's stream:
                 # within this round, the k-th occurrence of pixel p gets
                 # index n[p] + k (sel is sorted, so occurrences are
                 # consecutive).
-                first = np.r_[True, sel[1:] != sel[:-1]] if lanes else []
-                if lanes:
-                    pos = np.arange(lanes, dtype=np.int64)
-                    run0 = pos[first][np.cumsum(first) - 1]
-                    sidx[:lanes] = (
-                        sample_base + n[sel] + (pos - run0)
-                    ).astype(np.uint32)
-                val = np.zeros(l_call, bool)
-                val[:lanes] = True
-                rad = np.asarray(
-                    render_samples_mega(
-                        self.camera, self.scene_arrays, self.bvh,
-                        self.lights,
-                        jnp.asarray(pix), jnp.asarray(sidx),
-                        jnp.asarray(val), (W, H),
-                        max_depth=opt.max_depth, rr_depth=opt.rr_depth,
-                        nee_max_media=opt.nee_max_media, rng_mode=opt.rng,
-                        tir=opt.tir, direct=opt.direct, **knobs,
-                    ),
-                    np.float64,
-                )[:lanes]
-                np.add.at(acc, sel, rad)
-                np.add.at(acc2, sel, rad * rad)
-                np.add.at(n, sel, 1)
+                first = np.r_[True, sel[1:] != sel[:-1]]
+                pos = np.arange(lanes, dtype=np.int64)
+                run0 = pos[first][np.cumsum(first) - 1]
+                sidx_all = (
+                    sample_base + n[sel] + (pos - run0)
+                ).astype(np.uint32)
+                rad = np.empty((lanes, 3), np.float64)
+                for o in range(0, lanes, l_call):
+                    m = min(l_call, lanes - o)
+                    pix = np.zeros((l_call, 2), np.int32)
+                    pix[:m, 0] = sel[o:o + m] % W
+                    pix[:m, 1] = sel[o:o + m] // W
+                    sidx = np.zeros(l_call, np.uint32)
+                    sidx[:m] = sidx_all[o:o + m]
+                    val = np.zeros(l_call, bool)
+                    val[:m] = True
+                    rad[o:o + m] = np.asarray(
+                        render_samples_mega(
+                            self.camera, self.scene_arrays, self.bvh,
+                            self.lights,
+                            jnp.asarray(pix), jnp.asarray(sidx),
+                            jnp.asarray(val), (W, H),
+                            max_depth=opt.max_depth, rr_depth=opt.rr_depth,
+                            nee_max_media=opt.nee_max_media,
+                            rng_mode=opt.rng,
+                            tir=opt.tir, direct=opt.direct, **knobs,
+                        ),
+                        np.float64,
+                    )[:m]
+                # bincount, not np.add.at: unbuffered add.at is ~20x
+                # slower at 1M+ lanes and was the dominant host glue.
+                for c in range(3):
+                    acc[:, c] += np.bincount(
+                        sel, weights=rad[:, c], minlength=r
+                    )
+                    acc2[:, c] += np.bincount(
+                        sel, weights=rad[:, c] ** 2, minlength=r
+                    )
+                n += np.bincount(sel, minlength=r)
                 issued += lanes
                 if snapshot_cb is not None:
-                    snapshot_cb(
+                    stop = snapshot_cb(
                         issued / r,
                         lambda: (
                             acc / np.maximum(n, 1)[:, None]
                         ).astype(np.float32).reshape(H, W, 3),
                     )
+                    if stop:
+                        break
         img = (acc / np.maximum(n, 1)[:, None]).astype(np.float32)
         return img.reshape(H, W, 3)
 

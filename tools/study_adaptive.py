@@ -66,6 +66,129 @@ def gains(v_alloc, v_eval, uniform_frac=0.25, smooth=False):
     return mse_unif / mse_adapt
 
 
+def measure(args) -> None:
+    """Realized A/B on chip: adaptive vs uniform RMSE against a high-spp
+    truth at equal average budgets (the bench protocol), plus wall time
+    for the throughput-overhead check. Sample windows: truth 0..truth_spp,
+    measured runs from 1<<21 — disjoint, so no correlated errors.
+
+    Default (auto) schedule throughout: the static schedule renders
+    showcase 256^2 at 2.2 vs the dynamic all-mode's 0.7 Mpaths/s
+    (round-5 probe; images are schedule-invariant)."""
+    from complex_materials_renderer_tpu.utils.cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
+    from complex_materials_renderer_tpu.config import RenderOptions
+    from complex_materials_renderer_tpu.render.megarender import (
+        render_beauty_mega,
+    )
+    from complex_materials_renderer_tpu.renderer import Renderer
+    from complex_materials_renderer_tpu.scene import load_scene
+
+    def make_renderer(spp, spp_mode="uniform"):
+        opt = RenderOptions()
+        opt.obj_path = args.scene
+        opt.width = opt.height = args.res
+        opt.rng = args.rng
+        opt.direct = args.direct
+        opt.shard = "none"
+        opt.num_samples = spp
+        opt.spp_mode = spp_mode
+        scene = load_scene(opt.obj_path, opt)
+        return Renderer(scene, scene.options)
+
+    def render_uniform(r, spp, offset):
+        acc = np.zeros((args.res, args.res, 3), np.float64)
+        done = 0
+        while done < spp:
+            n = min(512, spp - done)
+            img = render_beauty_mega(
+                r.camera, r.scene_arrays, r.bvh, r.lights,
+                (args.res, args.res), n,
+                rng_mode=args.rng, sample_offset=offset + done,
+                direct=args.direct,
+            )
+            acc += np.asarray(img, np.float64) * n
+            done += n
+        return (acc / spp).astype(np.float32)
+
+    def rmse(a, b):
+        return float(np.sqrt(((a.astype(np.float64) - b) ** 2).mean()))
+
+    truth_path = (
+        f"/tmp/study_adaptive_truth_{args.rng}_{args.direct}_"
+        f"{args.res}_{args.truth_spp}.npy"
+    )
+    r = make_renderer(64)
+    if os.path.exists(truth_path):
+        truth = np.load(truth_path)
+        print(f"# truth loaded from {truth_path}", flush=True)
+    else:
+        t0 = time.time()
+        truth = render_uniform(r, args.truth_spp, 0)
+        np.save(truth_path, truth)
+        print(f"# truth rendered in {time.time()-t0:.0f}s", flush=True)
+
+    out = {"protocol": f"{args.scene} {args.res}^2 {args.rng}/{args.direct}"}
+    for spp in (int(s) for s in args.budgets.split(",")):
+        ru = make_renderer(spp)
+        ru.render()  # warm the uniform signature
+        t0 = time.time()
+        img_u = render_uniform(ru, spp, 1 << 21)
+        t_u = time.time() - t0
+        ra = make_renderer(spp, "adaptive")
+        ra.render_adaptive(sample_base=1 << 21)  # warm
+        t0 = time.time()
+        img_a = ra.render_adaptive(sample_base=1 << 21)
+        t_a = time.time() - t0
+        e_u, e_a = rmse(img_u, truth), rmse(img_a, truth)
+        out[f"spp{spp}"] = {
+            "rmse_uniform": round(e_u, 6),
+            "rmse_adaptive": round(e_a, 6),
+            "var_gain": round((e_u / e_a) ** 2, 3),
+            "wall_uniform_s": round(t_u, 1),
+            "wall_adaptive_s": round(t_a, 1),
+        }
+        print(json.dumps({f"spp{spp}": out[f"spp{spp}"]}), flush=True)
+
+    if args.crossing:
+        # MEASURED RMSE<=1e-3 crossing for the adaptive estimator: one
+        # long adaptive run, floor-adjusted RMSE evaluated at every
+        # round snapshot (the truth's own noise floor is estimated from
+        # the measured uniform 64-spp RMSE, same convention as bench.py).
+        e_u64 = out.get("spp64", {}).get("rmse_uniform")
+        floor2 = (e_u64**2) * (64.0 / args.truth_spp) if e_u64 else 0.0
+        ra = make_renderer(args.crossing_budget, "adaptive")
+        hist = []
+
+        def snap(avg, img_fn):
+            e2 = ((img_fn().astype(np.float64) - truth) ** 2).mean()
+            hist.append((avg, float(np.sqrt(max(e2 - floor2, 0.0)))))
+            # Incremental print: a killed/timed-out run still leaves the
+            # partial curve in the log (round-5 lesson).
+            print(f"# snap {hist[-1][0]:.1f} {hist[-1][1]:.6f}", flush=True)
+
+        t0 = time.time()
+        ra.render_adaptive(snapshot_cb=snap, sample_base=1 << 21)
+        wall = time.time() - t0
+        crossing = next((a for a, e in hist if e <= 1e-3), None)
+        res = {
+            "crossing_spp": crossing,
+            "budget": args.crossing_budget,
+            "wall_s": round(wall, 1),
+            "mpaths": round(
+                args.crossing_budget * args.res**2 / wall / 1e6, 3
+            ),
+            "tail": [(round(a, 1), round(e, 6)) for a, e in hist[-6:]],
+        }
+        out["crossing"] = res
+        print(json.dumps({"crossing": res}), flush=True)
+    print(json.dumps(out), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=8)
@@ -74,7 +197,19 @@ def main() -> None:
     ap.add_argument("--scene", default="scenes/showcase.obj")
     ap.add_argument("--rng", default="ld", choices=["ld", "counter"])
     ap.add_argument("--direct", default="analytic")
+    ap.add_argument("--measure", action="store_true",
+                    help="realized adaptive-vs-uniform A/B (needs the "
+                    "feature built; the default mode is the pre-build "
+                    "headroom model)")
+    ap.add_argument("--budgets", default="64,256",
+                    help="average spp budgets for --measure")
+    ap.add_argument("--truth-spp", type=int, default=4096)
+    ap.add_argument("--crossing", action="store_true",
+                    help="with --measure: run the RMSE<=1e-3 crossing")
+    ap.add_argument("--crossing-budget", type=int, default=10240)
     args = ap.parse_args()
+    if args.measure:
+        return measure(args)
 
     from complex_materials_renderer_tpu.utils.cache import (
         enable_persistent_cache,
